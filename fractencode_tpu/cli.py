@@ -1,0 +1,182 @@
+"""Command-line driver.
+
+Mirrors the reference CLI (``/root/reference/main.cpp:29-104``) flag-for-flag
+where sensible (--source/--target/--rms/--smax/--color/--decode/
+--debug_decode/--noclassifier/--log) and adds what the reference never had:
+a real compressed file format (encode to/decode from ``.ftc``), PSNR
+reporting, and backend/mode selection.
+
+Usage:
+    python -m fractencode_tpu input.png [flags]          # encode+decode+stats
+    python -m fractencode_tpu input.png --out out.ftc    # write bitstream
+    python -m fractencode_tpu --decode-file in.ftc --result out.png
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fractencode_tpu", description=__doc__)
+    p.add_argument("input", nargs="?", help="input image (png/jpg)")
+    # reference-compatible flags (main.cpp:58-94)
+    p.add_argument("--decode", type=int, default=-1, help="max decode iterations")
+    p.add_argument("--source", type=int, default=16, help="domain block size")
+    p.add_argument("--target", type=int, default=4, help="range block size")
+    p.add_argument("--rms", type=float, default=0.0, help="early-accept MSE threshold")
+    p.add_argument("--smax", type=float, default=-1.0, help="|s| clamp (<=0 off)")
+    p.add_argument("--color", action="store_true", help="encode all 3 YUV planes")
+    p.add_argument("--debug_decode", action="store_true", help="dump decode iterates")
+    p.add_argument("--noclassifier", action="store_true")
+    p.add_argument("--log", action="store_true", help="verbose progress")
+    # new capabilities
+    p.add_argument("--transforms", type=int, default=4, choices=range(1, 9),
+                   help="number of dihedral isometries to search (reference: 4)")
+    p.add_argument("--criterion", choices=["affine", "raw"], default="affine")
+    p.add_argument("--so-mode", choices=["ls", "reference"], default="ls")
+    p.add_argument("--compat", action="store_true",
+                   help="bit-parity with the C++ reference (raw + reference + 4)")
+    p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
+    p.add_argument("--out", help="write compressed bitstream to this path")
+    p.add_argument("--decode-file", help="decode a .ftc bitstream instead of encoding")
+    p.add_argument("--result", default="result.png", help="decoded output image path")
+    p.add_argument("--decode-rms", type=float, default=1e-5)
+    return p
+
+
+def _config_from_args(args):
+    from .params import EncoderConfig, REFERENCE_COMPAT
+
+    kw = dict(
+        source_size=args.source,
+        target_size=args.target,
+        rms_threshold=args.rms,
+        s_max=args.smax,
+        use_classifier=not args.noclassifier,
+        num_transforms=args.transforms,
+        backend=args.backend,
+    )
+    if args.compat:
+        return REFERENCE_COMPAT(**{k: v for k, v in kw.items() if k != "num_transforms"})
+    return EncoderConfig(criterion=args.criterion, so_mode=args.so_mode, **kw)
+
+
+def _encode_one(plane, args, cfg, dcfg, label=""):
+    from .core.metrics import psnr
+    from .decode import decode_plane, decode_steps_py
+    from .encode import encode_plane
+
+    t0 = time.perf_counter()
+    res = encode_plane(plane, cfg)
+    res.domain_idx.block_until_ready()
+    t1 = time.perf_counter()
+    print(f"encoded{label} in {t1 - t0:.4g} s.")
+    print(f"{res.num_ranges} elements.")
+
+    if args.debug_decode:
+        from .image import save_plane
+
+        for i, img in decode_steps_py(res, dcfg):
+            save_plane(np.asarray(img), f"decode_debug{i}.png")
+
+    t0 = time.perf_counter()
+    out, iters, mse = decode_plane(res, dcfg)
+    out.block_until_ready()
+    t1 = time.perf_counter()
+    print(f"decoded{label} in {t1 - t0:.4g} s.")
+    print(f"decode stats: {int(iters)} steps, rms: {float(mse):.6g}")
+    print(f"psnr: {float(psnr(plane, out)):.4f} dB")
+    _stats(res)
+    return res, np.asarray(out)
+
+
+def _stats(res):
+    """Quantization statistics (cf. encode_data_statistics, main.cpp:106-140)."""
+    from .codec.quantize import DEFAULT_O_BITS, DEFAULT_S_BITS, quantize
+
+    s = np.asarray(res.s, dtype=np.float64)
+    o = np.asarray(res.o, dtype=np.float64)
+    print("----")
+    print(f"grid element count: {len(s)}")
+    print(f"contrast: {s.min():.6g}:{s.max():.6g}")
+    print(f"brightness: {o.min():.6g}:{o.max():.6g}")
+    sq = quantize(s, s.min(), s.max(), DEFAULT_S_BITS)
+    oq = quantize(o, o.min(), o.max(), DEFAULT_O_BITS)
+    print(
+        "contrast / brightness quantization: "
+        f"{len(np.unique(sq))} {len(np.unique(oq))}"
+    )
+    print("----")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from .params import DecoderConfig
+
+    dcfg = DecoderConfig(
+        max_iterations=args.decode if args.decode > 0 else 300,
+        epsilon=args.decode_rms,
+    )
+
+    if args.decode_file:
+        from .codec import unpack_result
+        from .decode import decode_plane
+        from .image import save_plane
+
+        try:
+            with open(args.decode_file, "rb") as f:
+                res = unpack_result(f.read())
+        except Exception as e:  # struct.error / ValueError / truncated file
+            print(f"error: not a valid bitstream: {args.decode_file} ({e})",
+                  file=sys.stderr)
+            return 2
+        out, iters, mse = decode_plane(res, dcfg)
+        save_plane(np.asarray(out), args.result)
+        print(f"decoded {args.decode_file}: {int(iters)} steps, rms {float(mse):.6g}")
+        return 0
+
+    if not args.input:
+        print("no input image", file=sys.stderr)
+        return 2
+
+    from .image import load_planes, save_plane, save_yuv
+
+    try:
+        cfg = _config_from_args(args)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)  # cf. main.cpp:99-102
+        return 2
+    total0 = time.perf_counter()
+    y, u, v = load_planes(args.input)
+    if args.color:
+        res_y, out_y = _encode_one(y, args, cfg, dcfg, " [Y]")
+        res_u, out_u = _encode_one(u, args, cfg, dcfg, " [U]")
+        res_v, out_v = _encode_one(v, args, cfg, dcfg, " [V]")
+        save_yuv(out_y, out_u, out_v, args.result)
+        results = [(res_y, y), (res_u, u), (res_v, v)]
+    else:
+        res, out = _encode_one(y, args, cfg, dcfg)
+        save_plane(out, args.result)
+        results = [(res, y)]
+
+    if args.out:
+        from .codec import pack_result
+
+        # mean-centred parameterization: o-quantization error stays ~1 gray
+        # level instead of being amplified by s (see codec/bitstream.py)
+        blob = b"".join(pack_result(r, plane=pl) for r, pl in results)
+        with open(args.out, "wb") as f:
+            f.write(blob)
+        raw = y.size * (3 if args.color else 1)
+        print(f"bitstream: {len(blob)} bytes ({raw / max(len(blob), 1):.1f}x)")
+
+    print(f"total time: {time.perf_counter() - total0:.4g} s.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,98 @@
+"""Domain codebook construction.
+
+The reference re-samples domain pixels on every (range, domain, transform)
+comparison through the bilinear sampler (``transformmatcher.h:97,130``).
+TPU-native design: sample every (domain, isometry) *once per image* into a
+dense codebook tensor ``C[D, T, K]`` (K = target_size**2) plus its per-column
+sums — this is the "presampled partition" idea the reference abandoned
+(``image/partition/presampledpartition.h:8-26``) taken to its conclusion.
+The all-pairs search then reduces to one big matmul against ``C`` (MXU) and
+cheap VPU epilogues.
+
+Values are multiples of 0.25 in [0, 255], exactly representable in f32, so
+f32 keeps bit-parity with the reference's float math on the sums that matter.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import Grid
+from ..core.sampler import all_tap_tables
+
+__all__ = ["Codebook", "build_codebook", "extract_ranges"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Codebook:
+    """Sampled domain pool. All arrays are device arrays."""
+
+    values: jnp.ndarray  # [D, T, K] f32 — sampled (domain, isometry) vectors
+    sum: jnp.ndarray  # [D, T] f32 — per-vector sums (SumB)
+    sum_sq: jnp.ndarray  # [D, T] f32 — per-vector sums of squares (SumB2)
+    grid: Grid = dataclasses.field(metadata=dict(static=True))  # domain grid
+
+    @property
+    def num_domains(self) -> int:
+        return self.values.shape[0]
+
+    @property
+    def num_transforms(self) -> int:
+        return self.values.shape[1]
+
+
+def _block_pixel_offsets(block_size: int, stride: int) -> np.ndarray:
+    """[block_size**2] flat image offsets of a block's pixels, row-major."""
+    ys, xs = np.mgrid[0:block_size, 0:block_size]
+    return (ys * stride + xs).reshape(-1).astype(np.int32)
+
+
+def build_codebook(
+    plane_f32: jnp.ndarray,
+    domain_grid: Grid,
+    target_size: int,
+    num_transforms: int,
+) -> Codebook:
+    """Sample all domain blocks under the first ``num_transforms`` isometries.
+
+    ``plane_f32`` is the [H, W] image as f32 (exact u8 values).
+    """
+    h, w = plane_f32.shape
+    sw = domain_grid.block_size
+    flat = plane_f32.reshape(-1)
+
+    origins = jnp.asarray(domain_grid.flat_origins(stride=w))  # [D]
+    block_pix = jnp.asarray(_block_pixel_offsets(sw, w))  # [sw*sw]
+    blocks = flat[origins[:, None] + block_pix[None, :]]  # [D, sw*sw]
+
+    taps = all_tap_tables(sw, target_size)[:num_transforms]  # [T, K, 4]
+    # Accumulate the four taps separately to keep the peak intermediate at
+    # [D, T, K] instead of [D, T, K, 4].
+    acc = blocks[:, jnp.asarray(taps[:, :, 0])]
+    for j in range(1, 4):
+        acc = acc + blocks[:, jnp.asarray(taps[:, :, j])]
+    values = acc * 0.25  # [D, T, K]
+
+    return Codebook(
+        values=values,
+        sum=values.sum(axis=-1),
+        sum_sq=(values * values).sum(axis=-1),
+        grid=domain_grid,
+    )
+
+
+def extract_ranges(plane_f32: jnp.ndarray, target_size: int) -> jnp.ndarray:
+    """[R, K] f32 range blocks for the non-overlapping range grid.
+
+    Row-major block order (x fastest) matches ``createUniformGrid``
+    (``partition2.hpp:123-133``), so range index r = ry * (W//tw) + rx.
+    """
+    h, w = plane_f32.shape
+    tw = target_size
+    assert h % tw == 0 and w % tw == 0, (h, w, tw)
+    x = plane_f32.reshape(h // tw, tw, w // tw, tw)
+    return x.transpose(0, 2, 1, 3).reshape(-1, tw * tw)

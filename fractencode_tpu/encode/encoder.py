@@ -1,0 +1,146 @@
+"""Plane encoder: the TPU-native equivalent of ``Frac2::Encoder2``.
+
+Reference pipeline (``/root/reference/encode/Encoder2.hpp:27-45``,
+``main.cpp:142-167``): build domain + range grids with preclassified
+brightness bins, then fan range blocks out over a thread pool where each
+thread linearly scans all domains.  Here the whole search is one jitted
+program: codebook build (gathers) -> class computation (prefix sums + VPU)
+-> chunked matmul + fused argmin (MXU + VPU, or the Pallas kernel backend).
+
+The per-range output arrays play the role of ``grid_encode_data_t``
+(``encode/datatypes.h:8-26``).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..core.classify import classify_grid
+from ..core.grid import Grid, uniform_grid
+from ..core.stats import integral_image
+from ..params import EncoderConfig
+from .codebook import build_codebook, extract_ranges
+from .matcher import search, search_pallas
+
+__all__ = ["EncodeResult", "encode_plane", "encode_stats"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EncodeResult:
+    """Encoded plane: per-range transform parameters (the compressed form).
+
+    Range r covers the block at (x, y) = ((r % nx) * ts, (r // nx) * ts)
+    where nx = width // target_size — recoverable by index arithmetic, so
+    only the match data is stored (cf. ``encode_item_t``, datatypes.h:20-23).
+    """
+
+    domain_idx: jnp.ndarray  # [R] i32 row-major domain grid index
+    transform: jnp.ndarray  # [R] i32 TransformType
+    s: jnp.ndarray  # [R] f32 contrast
+    o: jnp.ndarray  # [R] f32 brightness
+    distance: jnp.ndarray  # [R] f32 search distance (criterion units)
+    valid: jnp.ndarray  # [R] bool
+
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+    source_size: int = dataclasses.field(metadata=dict(static=True))
+    target_size: int = dataclasses.field(metadata=dict(static=True))
+    domain_step: int = dataclasses.field(metadata=dict(static=True))
+    # When True, ``o`` holds the range block's target mean and the decoder
+    # applies the mean-centred map ``s*(D - mean(D)) + o`` instead of
+    # ``s*D + o``.  Used by the quantized bitstream: quantization error in a
+    # mean adds ~1 gray level, while error in a plain offset is amplified by
+    # s times the full pixel magnitude.
+    o_is_mean: bool = dataclasses.field(default=False, metadata=dict(static=True))
+
+    @property
+    def num_ranges(self) -> int:
+        return (self.width // self.target_size) * (self.height // self.target_size)
+
+    @property
+    def domain_grid(self) -> Grid:
+        return uniform_grid(self.width, self.height, self.source_size, self.domain_step)
+
+    @property
+    def range_grid(self) -> Grid:
+        return uniform_grid(self.width, self.height, self.target_size, self.target_size)
+
+    def domain_origins(self):
+        """([R] x, [R] y) i32 global origins of each range's matched domain."""
+        nx = self.domain_grid.nx
+        ox = (self.domain_idx % nx) * self.domain_step
+        oy = (self.domain_idx // nx) * self.domain_step
+        return ox, oy
+
+
+def _encode_plane_impl(plane: jnp.ndarray, cfg: EncoderConfig) -> EncodeResult:
+    h, w = plane.shape
+    plane_f32 = plane.astype(jnp.float32)
+    domain_grid = uniform_grid(w, h, cfg.source_size, cfg.domain_step)
+    range_grid = uniform_grid(w, h, cfg.target_size, cfg.target_size)
+
+    cb = build_codebook(plane_f32, domain_grid, cfg.target_size, cfg.num_transforms)
+    ranges = extract_ranges(plane_f32, cfg.target_size)
+    sum_a = ranges.sum(axis=-1)
+    sum_a2 = (ranges * ranges).sum(axis=-1)
+
+    if cfg.use_classifier:
+        ii = integral_image(plane)
+        domain_classes = classify_grid(plane, domain_grid, ii=ii)
+        range_classes = classify_grid(plane, range_grid, ii=ii)
+    else:
+        domain_classes = None
+        range_classes = None
+
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas":
+        interpret = jax.default_backend() != "tpu"
+        res = search_pallas(
+            ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg,
+            interpret=interpret,
+        )
+    else:
+        res = search(ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg)
+    return EncodeResult(
+        domain_idx=res.domain_idx,
+        transform=res.transform,
+        s=res.s,
+        o=res.o,
+        distance=res.distance,
+        valid=res.valid,
+        width=w,
+        height=h,
+        source_size=cfg.source_size,
+        target_size=cfg.target_size,
+        domain_step=cfg.domain_step,
+    )
+
+
+_encode_plane_jit = jax.jit(_encode_plane_impl, static_argnames=("cfg",))
+
+
+def encode_plane(plane, cfg: EncoderConfig | None = None) -> EncodeResult:
+    """Encode one u8 plane. ``plane`` is [H, W] u8 (numpy or jax array)."""
+    cfg = cfg or EncoderConfig()
+    plane = jnp.asarray(plane, dtype=jnp.uint8)
+    h, w = plane.shape
+    if h % cfg.target_size or w % cfg.target_size:
+        raise ValueError("image not aligned to range grid")  # partition2.hpp:119
+    return _encode_plane_jit(plane, cfg)
+
+
+def encode_stats(result: EncodeResult, range_classes=None, domain_classes=None):
+    """Classifier rejection statistics (cf. ``encode_stats_t``,
+    ``Encoder2.hpp:17-24``): rejected / total comparisons."""
+    total = result.num_ranges * result.domain_grid.num_items
+    if range_classes is None or domain_classes is None:
+        return dict(total_mappings=total, rejected_mappings=0)
+    rejected = int(
+        (range_classes[:, None] != domain_classes[None, :]).sum()
+    )
+    return dict(total_mappings=total, rejected_mappings=rejected)

@@ -1,0 +1,330 @@
+"""All-pairs transform matching: the search core, as batched linear algebra.
+
+The reference's triple-nested hot loop — ranges x domains x transforms with
+per-pair early exits (``TransformEstimator2.hpp:29-48``,
+``transformmatcher.h:38-144``) — decomposes into the five sums SumA, SumA2,
+SumB, SumB2, SumAB.  Only SumAB depends on the (range, domain-isometry) pair
+and it is exactly a matmul ``[R, K] @ [K, D*T]`` -> MXU.  Everything else is
+a VPU epilogue.
+
+Exact reference selection semantics (criterion='raw'):
+  * distance = MSE(range, sampled domain) WITHOUT (s, o), normalized by the
+    DOMAIN area (``metrics.h:49``, ``transformmatcher.h:87,120``);
+  * across domains the first strict improvement wins ties
+    (``TransformEstimator2.hpp:34``);
+  * within a domain, a later transform wins ties (`<=` compare,
+    ``transformmatcher.h:57,67``);
+  * early accept: the domain scan stops at the first domain where the
+    running best <= rmsThreshold (``TransformEstimator2.hpp:40-41``), and
+    within that domain the transform chain stops at the first prefix-minimum
+    <= threshold (``transformmatcher.h:55-56,65-66``).  A full argmin with a
+    masked prefix reproduces the same winner (see ``select_best``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..params import EncoderConfig
+from .codebook import Codebook
+
+__all__ = ["SearchResult", "solve_so", "search"]
+
+# plain Python float: module import must not trigger backend initialization
+_BIG = 3.0e38
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SearchResult:
+    """Per-range best match. All arrays [R]."""
+
+    domain_idx: jnp.ndarray  # i32, row-major index into the domain grid
+    transform: jnp.ndarray  # i32, TransformType value
+    distance: jnp.ndarray  # f32, in the configured criterion's units
+    s: jnp.ndarray  # f32 contrast
+    o: jnp.ndarray  # f32 brightness
+    valid: jnp.ndarray  # bool — False if the classifier rejected every domain
+
+
+def solve_so(sum_a, sum_a2, sum_b, sum_b2, sum_ab, n: float, so_mode: str, s_max: float):
+    """Solve the affine brightness map from the five sums.
+
+    'reference' reproduces ``transformmatcher.h:103-105`` (including the
+    ``(SumA-1)*SumA`` denominator quirk and the |den|<1e-5 zero guard);
+    'ls' is the textbook least squares for ``range ~ s*domain + o``.
+    """
+    if so_mode == "reference":
+        den = n * sum_a2 - (sum_a - 1.0) * sum_a
+        num = n * sum_ab - sum_a * sum_b
+    else:
+        den = n * sum_b2 - sum_b * sum_b
+        num = n * sum_ab - sum_a * sum_b
+    s = jnp.where(jnp.abs(den) < 1e-5, 0.0, num / jnp.where(den == 0, 1.0, den))
+    if s_max > 0.0:
+        s = jnp.clip(s, -s_max, s_max)
+    if so_mode == "reference":
+        o = (sum_b - s * sum_a) / n
+    else:
+        o = (sum_a - s * sum_b) / n
+    return s, o
+
+
+def _pair_scores(ranges, sum_a, sum_a2, cb: Codebook, cfg: EncoderConfig):
+    """Scores + (s, o) for a chunk of ranges against the whole codebook.
+
+    ranges: [RC, K]; returns dist [RC, D, T] (criterion units), s, o [RC, D, T].
+    """
+    k = ranges.shape[-1]
+    n = float(k)
+    d, t, _ = cb.values.shape
+    # MXU: SumAB for every pair. [RC, K] @ [K, D*T]
+    flat_cb = cb.values.reshape(d * t, k)
+    # Precision.HIGHEST: on TPU the default f32 "matmul" truncates inputs to
+    # bf16 on the MXU, which destroys the exactness of the distance algebra
+    # (range pixels are 8-bit ints, samples are multiples of 0.25 needing 10
+    # mantissa bits).  HIGHEST uses the multi-pass bf16 decomposition whose
+    # partial products are exact in f32 for this data, preserving bit-parity
+    # with the reference's float accumulation.
+    sum_ab = jax.lax.dot_general(
+        ranges,
+        flat_cb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, d, t)
+
+    sa = sum_a[:, None, None]
+    sa2 = sum_a2[:, None, None]
+    sb = cb.sum[None, :, :]
+    sb2 = cb.sum_sq[None, :, :]
+
+    s, o = solve_so(sa, sa2, sb, sb2, sum_ab, n, cfg.so_mode, cfg.s_max)
+
+    if cfg.criterion == "raw":
+        domain_area = float(cb.grid.block_size * cb.grid.block_size)
+        dist = (sa2 - 2.0 * sum_ab + sb2) / domain_area
+    else:
+        # Residual after the affine map actually stored: |A - s*B - o|^2 / N.
+        e = (
+            sa2
+            + s * s * sb2
+            + n * o * o
+            + 2.0 * s * o * sb
+            - 2.0 * s * sum_ab
+            - 2.0 * o * sa
+        )
+        dist = jnp.maximum(e, 0.0) / n
+    return dist, s, o
+
+
+def select_best(dist, threshold: float):
+    """Per-range winner with the reference's tie/early-accept rules.
+
+    dist: [RC, D, T].  Returns flat winner index into (D, T), i32.
+
+    Full-scan equivalence of the early exits: let d* be the first domain whose
+    per-domain min <= threshold (if any).  The reference's scan then never
+    looks past d*, and within d* never past t* (the first transform with
+    distance <= threshold).  So mask out (d, t) beyond that frontier and take
+    a composite argmin with keys (distance asc, domain asc, transform desc).
+    """
+    rc, d, t = dist.shape
+    dmin = dist.min(axis=2)  # [RC, D]
+    hit = dmin <= threshold
+    has_hit = hit.any(axis=1)  # [RC]
+    dstar = jnp.argmax(hit, axis=1)  # first hit domain (garbage if none)
+
+    # transform frontier within d*
+    dist_at_dstar = jnp.take_along_axis(dist, dstar[:, None, None], axis=1)[:, 0, :]
+    thit = dist_at_dstar <= threshold
+    tstar = jnp.argmax(thit, axis=1)  # first hit transform (garbage if none)
+
+    d_ids = jnp.arange(d, dtype=jnp.int32)[None, :, None]
+    t_ids = jnp.arange(t, dtype=jnp.int32)[None, None, :]
+    beyond = (d_ids > dstar[:, None, None]) | (
+        (d_ids == dstar[:, None, None]) & (t_ids > tstar[:, None, None])
+    )
+    masked = jnp.where(has_hit[:, None, None] & beyond, _BIG, dist)
+
+    # composite argmin: distance asc, then domain asc, then transform DESC
+    # (later transform wins ties: transformmatcher.h:57,67).
+    rev = masked[:, :, ::-1].reshape(rc, d * t)
+    flat_rev = jnp.argmin(rev, axis=1).astype(jnp.int32)
+    win_d = flat_rev // t
+    win_t = (t - 1) - (flat_rev % t)
+    return win_d, win_t
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def search_pallas(
+    ranges: jnp.ndarray,
+    sum_a: jnp.ndarray,
+    sum_a2: jnp.ndarray,
+    cb: Codebook,
+    range_classes: jnp.ndarray | None,
+    domain_classes: jnp.ndarray | None,
+    cfg: EncoderConfig,
+    interpret: bool = False,
+) -> SearchResult:
+    """Pallas-kernel backend: fused MXU scoring + on-chip argmin.
+
+    Same selection semantics as ``search`` except for the threshold
+    early-accept frontier (``rms_threshold`` > 0 is an oracle-only feature;
+    at the default threshold 0.0 the only divergence is *which* of several
+    exactly-zero-distance transforms is recorded — all of them decode
+    identically, see ``select_best``'s docstring).
+    """
+    from ..ops.matcher_pallas import DEFAULT_BM, DEFAULT_BR, fused_search
+
+    r, k = ranges.shape
+    d, t, _ = cb.values.shape
+    m = d * t
+
+    # search-order columns: m = d*T + (T-1-t)  => argmin first-hit == tie rule
+    cb_cols = cb.values[:, ::-1, :].reshape(m, k)
+    sb = cb.sum[:, ::-1].reshape(m)
+    sb2 = cb.sum_sq[:, ::-1].reshape(m)
+
+    use_classes = range_classes is not None and cfg.use_classifier
+    if use_classes:
+        col_cls = jnp.repeat(domain_classes, t)
+        rcls = range_classes
+    else:
+        col_cls = jnp.zeros((m,), jnp.int32)
+        rcls = jnp.zeros((r,), jnp.int32)
+
+    block_r = min(DEFAULT_BR, _round_up(r, 8))
+    block_m = min(DEFAULT_BM, _round_up(m, 128))
+    rp = _round_up(r, block_r)
+    mp = _round_up(m, block_m)
+
+    ranges_p = jnp.pad(ranges, ((0, rp - r), (0, 0)))
+    sum_a_p = jnp.pad(sum_a, (0, rp - r))
+    sum_a2_p = jnp.pad(sum_a2, (0, rp - r))
+    rcls_p = jnp.pad(rcls, (0, rp - r), constant_values=-3)
+    cb_cols_p = jnp.pad(cb_cols, ((0, mp - m), (0, 0)))
+    # padded columns must never win: give them +inf-like energy
+    sb_p = jnp.pad(sb, (0, mp - m))
+    sb2_p = jnp.pad(sb2, (0, mp - m), constant_values=_BIG)
+    col_cls_p = jnp.pad(col_cls, (0, mp - m), constant_values=-4)
+
+    dist, win_m = fused_search(
+        ranges_p, sum_a_p, sum_a2_p, cb_cols_p, sb_p, sb2_p, rcls_p, col_cls_p,
+        criterion=cfg.criterion,
+        so_mode=cfg.so_mode,
+        s_max=cfg.s_max,
+        inv_norm=(
+            1.0 / (cb.grid.block_size ** 2)
+            if cfg.criterion == "raw"
+            else 1.0 / k
+        ),
+        use_classes=use_classes,
+        block_r=block_r,
+        block_m=block_m,
+        interpret=interpret,
+    )
+    dist = dist[:r]
+    win_m = win_m[:r]
+    win_d = win_m // t
+    win_t = (t - 1) - (win_m % t)
+
+    valid = dist < _BIG
+    # (s, o) for winners only
+    win_rows = cb_cols[win_m]  # [R, K]
+    sum_ab = (ranges * win_rows).sum(axis=-1)
+    s, o = solve_so(sum_a, sum_a2, sb[win_m], sb2[win_m], sum_ab, float(k),
+                    cfg.so_mode, cfg.s_max)
+    s = jnp.where(valid, s, 0.0)
+    o = jnp.where(valid, o, 0.0)
+    return SearchResult(
+        domain_idx=win_d.astype(jnp.int32),
+        transform=win_t.astype(jnp.int32),
+        distance=dist,
+        s=s,
+        o=o,
+        valid=valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def search(
+    ranges: jnp.ndarray,
+    sum_a: jnp.ndarray,
+    sum_a2: jnp.ndarray,
+    cb: Codebook,
+    range_classes: jnp.ndarray | None,
+    domain_classes: jnp.ndarray | None,
+    cfg: EncoderConfig,
+    domain_mask: jnp.ndarray | None = None,
+) -> SearchResult:
+    """Best (domain, transform, s, o) per range block.
+
+    ranges [R, K] f32; sum_a/sum_a2 [R] f32; classes i32 or None.
+    Scans in chunks of ``cfg.range_chunk`` ranges to bound the [RC, D, T]
+    intermediate (the Pallas backend fuses this loop on-chip instead).
+    """
+    r, k = ranges.shape
+    d, t, _ = cb.values.shape
+    rc = min(cfg.range_chunk, r)
+    num_chunks = -(-r // rc)
+    pad = num_chunks * rc - r
+
+    def pad0(x, fill=0):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1), constant_values=fill)
+
+    ranges_p = pad0(ranges).reshape(num_chunks, rc, k)
+    sum_a_p = pad0(sum_a).reshape(num_chunks, rc)
+    sum_a2_p = pad0(sum_a2).reshape(num_chunks, rc)
+    use_classes = range_classes is not None and cfg.use_classifier
+    if use_classes:
+        rcls_p = pad0(range_classes, fill=-2).reshape(num_chunks, rc)
+
+    def chunk_fn(args):
+        if use_classes:
+            rng, sa, sa2, rcls = args
+        else:
+            rng, sa, sa2 = args
+        dist, s, o = _pair_scores(rng, sa, sa2, cb, cfg)
+        if use_classes:
+            match = rcls[:, None] == domain_classes[None, :]  # [RC, D]
+            dist = jnp.where(match[:, :, None], dist, _BIG)
+        if domain_mask is not None:
+            dist = jnp.where(domain_mask[None, :, None], dist, _BIG)
+        win_d, win_t = select_best(dist, cfg.rms_threshold)
+        take = lambda x: jnp.take_along_axis(
+            jnp.take_along_axis(x, win_d[:, None, None], axis=1)[:, 0, :],
+            win_t[:, None],
+            axis=1,
+        )[:, 0]
+        best = take(dist)
+        valid = best < _BIG
+        return win_d, win_t, jnp.where(valid, best, _BIG), take(s), take(o), valid
+
+    chunk_args = (ranges_p, sum_a_p, sum_a2_p) + ((rcls_p,) if use_classes else ())
+    win_d, win_t, best, s, o, valid = jax.lax.map(chunk_fn, chunk_args)
+
+    unpad = lambda x: x.reshape(num_chunks * rc, *x.shape[2:])[:r]
+    s = unpad(s)
+    o = unpad(o)
+    valid = unpad(valid)
+    # Classifier rejected everything: reference falls back to the default
+    # item_match_t (s=0, o=0 => decoder writes black; Encoder semantics of
+    # TransformEstimator2.hpp:30 default + DecodeUtils.hpp:22-23).
+    s = jnp.where(valid, s, 0.0)
+    o = jnp.where(valid, o, 0.0)
+    return SearchResult(
+        domain_idx=unpad(win_d),
+        transform=unpad(win_t),
+        distance=unpad(best),
+        s=s,
+        o=o,
+        valid=valid,
+    )

@@ -1,0 +1,206 @@
+"""Pallas TPU kernel: fused all-pairs scoring + running argmin.
+
+This is the device-side search kernel the reference only stubbed (its OpenCL
+engine uploads everything and then runs a placeholder kernel body,
+``/root/reference/gpu/opencl/OpenCLEncodingEngine.cpp:255-264``).  Design:
+
+  * The [R, K] range tile stays resident in VMEM while the kernel sweeps
+    codebook tiles [BM, K]; the pair scores ``[BR, BM]`` are produced by one
+    ``dot_general`` on the MXU and never leave VMEM — materializing the full
+    [R, D*T] score matrix in HBM (4 TB at 4K) is impossible, so the argmin
+    epilogue must live inside the kernel.
+  * The running (best_dist, best_idx) accumulators persist in VMEM scratch
+    across the codebook grid dimension (TPU grids iterate the trailing axis
+    sequentially per range tile).
+  * Codebook columns are stored in *search order* ``m = d*T + (T-1-t)`` so
+    that "first strict improvement" == the reference's tie-break (domain
+    ascending, transform descending; see ``encode/matcher.py``).
+  * Classifier pruning is a mask (mismatch -> +inf), not a gather — shapes
+    stay static and the MXU tiles stay dense.
+
+The (s, o) solve runs outside the kernel on the R winners only (cheap VPU
+work), reusing the same ``solve_so`` as the jnp oracle.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_search", "DEFAULT_BR", "DEFAULT_BM"]
+
+DEFAULT_BR = 256  # ranges per program
+DEFAULT_BM = 2048  # codebook columns per inner tile
+
+_BIG = 3.0e38
+
+
+def _search_kernel(
+    a_ref,  # [BR, K] range tile
+    sa_ref,  # [BR, 1] range sums
+    sa2_ref,  # [BR, 1] range sums of squares
+    c_ref,  # [BM, K] codebook tile (search order)
+    sb_ref,  # [1, BM]
+    sb2_ref,  # [1, BM]
+    rcls_ref,  # [BR, 1] i32 range classes (or all-zero when disabled)
+    ccls_ref,  # [1, BM] i32 codebook column classes
+    dist_out,  # [BR, 1] f32
+    idx_out,  # [BR, 1] i32
+    best_dist,  # VMEM scratch [BR, 1] f32
+    best_idx,  # VMEM scratch [BR, 1] i32
+    *,
+    bm: int,
+    criterion: str,
+    so_mode: str,
+    s_max: float,
+    inv_norm: float,
+    k: int,
+    use_classes: bool,
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_dist[:] = jnp.full_like(best_dist, _BIG)
+        best_idx[:] = jnp.zeros_like(best_idx)
+
+    a = a_ref[:]  # [BR, K]
+    c = c_ref[:]  # [BM, K]
+    # MXU: SumAB for all pairs in this tile.  HIGHEST precision keeps the
+    # f32 distance algebra exact (see encode/matcher.py) — the multi-pass
+    # bf16 decomposition is exact for 8-bit pixels x 0.25-quantized samples.
+    ab = jax.lax.dot_general(
+        a, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [BR, BM]
+
+    sa = sa_ref[:]  # [BR, 1]
+    sa2 = sa2_ref[:]  # [BR, 1]
+    sb = sb_ref[:]  # [1, BM]
+    sb2 = sb2_ref[:]  # [1, BM]
+    n = float(k)
+
+    if criterion == "raw":
+        dist = (sa2 - 2.0 * ab + sb2) * inv_norm
+    else:
+        if so_mode == "reference":
+            den = n * sa2 - (sa - 1.0) * sa
+        else:
+            den = n * sb2 - sb * sb
+        num = n * ab - sa * sb
+        s = jnp.where(jnp.abs(den) < 1e-5, 0.0, num / jnp.where(den == 0.0, 1.0, den))
+        if s_max > 0.0:
+            s = jnp.clip(s, -s_max, s_max)
+        if so_mode == "reference":
+            o = (sb - s * sa) / n
+        else:
+            o = (sa - s * sb) / n
+        e = sa2 + s * s * sb2 + n * o * o + 2.0 * s * o * sb - 2.0 * s * ab - 2.0 * o * sa
+        dist = jnp.maximum(e, 0.0) * inv_norm
+
+    if use_classes:
+        mask = rcls_ref[:] == ccls_ref[:]  # [BR, BM] via broadcast
+        dist = jnp.where(mask, dist, _BIG)
+
+    # tile-local argmin (first occurrence = lowest column index)
+    tile_min = jnp.min(dist, axis=1, keepdims=True)  # [BR, 1]
+    tile_arg = jnp.argmin(dist, axis=1).reshape(-1, 1).astype(jnp.int32)  # [BR, 1]
+    tile_arg = tile_arg + j * bm
+
+    improved = tile_min < best_dist[:]
+    best_idx[:] = jnp.where(improved, tile_arg, best_idx[:])
+    best_dist[:] = jnp.where(improved, tile_min, best_dist[:])
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        dist_out[:] = best_dist[:]
+        idx_out[:] = best_idx[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("criterion", "so_mode", "s_max", "inv_norm", "use_classes",
+                     "block_r", "block_m", "interpret"),
+)
+def fused_search(
+    ranges,  # [R, K] f32
+    sum_a,  # [R] f32
+    sum_a2,  # [R] f32
+    codebook,  # [M, K] f32, columns in search order
+    sum_b,  # [M] f32
+    sum_b2,  # [M] f32
+    range_classes,  # [R] i32 (zeros when use_classes=False)
+    col_classes,  # [M] i32
+    *,
+    criterion: str,
+    so_mode: str,
+    s_max: float,
+    inv_norm: float,
+    use_classes: bool,
+    block_r: int = DEFAULT_BR,
+    block_m: int = DEFAULT_BM,
+    interpret: bool = False,
+):
+    """Returns (best_dist [R] f32, best_idx [R] i32 into the M axis).
+
+    R must be a multiple of block_r and M a multiple of block_m (the encoder
+    pads; padded codebook columns carry +inf-like sums so they never win).
+    """
+    r, k = ranges.shape
+    m = codebook.shape[0]
+    assert r % block_r == 0 and m % block_m == 0, (r, m, block_r, block_m)
+    grid = (r // block_r, m // block_m)
+
+    kernel = functools.partial(
+        _search_kernel,
+        bm=block_m,
+        criterion=criterion,
+        so_mode=so_mode,
+        s_max=s_max,
+        inv_norm=inv_norm,
+        k=k,
+        use_classes=use_classes,
+    )
+
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_r, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_m, k), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, block_m), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_m), lambda i, j: (0, j)),
+            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, block_m), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_r, 1), jnp.float32),
+            pltpu.VMEM((block_r, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        ranges,
+        sum_a.reshape(-1, 1),
+        sum_a2.reshape(-1, 1),
+        codebook,
+        sum_b.reshape(1, -1),
+        sum_b2.reshape(1, -1),
+        range_classes.reshape(-1, 1).astype(jnp.int32),
+        col_classes.reshape(1, -1).astype(jnp.int32),
+    )
+    return dist.reshape(-1), idx.reshape(-1)

@@ -1,0 +1,80 @@
+"""Encoder/decoder configuration.
+
+TPU-native replacement for ``encode_parameters_t``
+(``/root/reference/encode/encode_parameters.h:5-14``) and the CLI-level decode
+knobs (``main.cpp:29-104``).  The struct is frozen/hashable so it can be a
+static argument to ``jax.jit``.
+
+Mode flags (design decisions documented in SURVEY.md section 7):
+  * ``criterion='raw'`` ranks pairs by the reference's metric — the plain MSE
+    between the range and the 2x2-average-sampled domain *without* applying
+    (s, o), normalized by the domain area (``transformmatcher.h:87,120``,
+    ``metrics.h:49``).  ``'affine'`` ranks by the true fractal-coding
+    objective: the residual after the optimal affine map, normalized by range
+    area.  'affine' gives strictly better decoded PSNR at identical search
+    cost and is the default; 'raw' exists for bit-parity with the reference.
+  * ``so_mode='ls'`` solves the textbook least squares ``range ~ s*domain+o``
+    (what the decoder actually applies, ``DecodeUtils.hpp:22``).
+    ``'reference'`` reproduces the reference's quirk: it regresses the
+    *domain on the range* and uses denominator ``N*SumA^2 - (SumA-1)*SumA``
+    (note the ``-1``; ``transformmatcher.h:103,136``).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["EncoderConfig", "DecoderConfig", "REFERENCE_COMPAT"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    # Geometry (reference defaults: encode_parameters.h:6-8)
+    source_size: int = 16  # domain block edge
+    target_size: int = 4  # range block edge
+    lattice: int = 2  # domain step = source_size // lattice (main.cpp:147)
+
+    # Search space
+    num_transforms: int = 4  # reference searches Id/90/180/270 only
+    #   (transformmatcher.h:41-46); 8 = full dihedral group.
+    rms_threshold: float = 0.0  # early-accept threshold, MSE units
+    s_max: float = -1.0  # |s| clamp; <=0 disables (transformmatcher.h:27-31)
+    use_classifier: bool = True  # brightness-block 6-class equality prune
+
+    # Semantics
+    criterion: str = "affine"  # 'affine' | 'raw'
+    so_mode: str = "ls"  # 'ls' | 'reference'
+
+    # Execution
+    range_chunk: int = 2048  # ranges scored per scan step (memory knob)
+    backend: str = "auto"  # 'auto' | 'jnp' | 'pallas'
+
+    def __post_init__(self):
+        if self.target_size >= self.source_size or self.target_size < 2:
+            raise ValueError("invalid source/target size")  # main.cpp:99-102
+        if self.source_size % self.lattice:
+            raise ValueError("source_size must be divisible by lattice")
+        if self.criterion not in ("affine", "raw"):
+            raise ValueError(f"bad criterion {self.criterion}")
+        if self.so_mode not in ("ls", "reference"):
+            raise ValueError(f"bad so_mode {self.so_mode}")
+        if not 1 <= self.num_transforms <= 8:
+            raise ValueError("num_transforms must be in 1..8")
+
+    @property
+    def domain_step(self) -> int:
+        return self.source_size // self.lattice
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    max_iterations: int = 300  # Encoder2.hpp:62
+    epsilon: float = 1e-5  # inter-iterate MSE stop (main.cpp:34)
+    initial_value: int = 100  # flat start image (Encoder2.hpp:69)
+
+
+def REFERENCE_COMPAT(**overrides) -> EncoderConfig:
+    """Config matching the reference C++ encoder bit-for-bit in ranking and
+    (s, o) semantics."""
+    base = dict(criterion="raw", so_mode="reference", num_transforms=4)
+    base.update(overrides)
+    return EncoderConfig(**base)

@@ -1,0 +1,69 @@
+"""Pallas fused-search kernel vs the jnp oracle (interpret mode on CPU;
+the same kernel compiles for real on TPU — exercised by bench.py)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fractencode_tpu.core.grid import uniform_grid
+from fractencode_tpu.encode.codebook import build_codebook, extract_ranges
+from fractencode_tpu.encode.matcher import search, search_pallas
+from fractencode_tpu.params import EncoderConfig, REFERENCE_COMPAT
+
+
+def _setup(rng, n=64, cfg=None):
+    cfg = cfg or EncoderConfig()
+    img = rng.integers(0, 256, size=(n, n), dtype=np.uint8)
+    plane = jnp.asarray(img, jnp.float32)
+    dg = uniform_grid(n, n, cfg.source_size, cfg.domain_step)
+    cb = build_codebook(plane, dg, cfg.target_size, cfg.num_transforms)
+    ranges = extract_ranges(plane, cfg.target_size)
+    sum_a = ranges.sum(axis=-1)
+    sum_a2 = (ranges * ranges).sum(axis=-1)
+    if cfg.use_classifier:
+        from fractencode_tpu.core.classify import classify_grid
+
+        rg = uniform_grid(n, n, cfg.target_size, cfg.target_size)
+        rcls = classify_grid(jnp.asarray(img), rg)
+        dcls = classify_grid(jnp.asarray(img), dg)
+    else:
+        rcls = dcls = None
+    return ranges, sum_a, sum_a2, cb, rcls, dcls
+
+
+@pytest.mark.parametrize("cfg", [
+    EncoderConfig(),
+    EncoderConfig(use_classifier=False),
+    EncoderConfig(criterion="raw", so_mode="reference"),
+    EncoderConfig(num_transforms=8),
+    EncoderConfig(s_max=1.0),
+])
+def test_pallas_matches_oracle(rng, cfg):
+    args = _setup(rng, 64, cfg)
+    oracle = search(*args, cfg)
+    kernel = search_pallas(*args, cfg, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(kernel.domain_idx), np.asarray(oracle.domain_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kernel.transform), np.asarray(oracle.transform)
+    )
+    np.testing.assert_allclose(
+        np.asarray(kernel.distance), np.asarray(oracle.distance), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(kernel.s), np.asarray(oracle.s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kernel.o), np.asarray(oracle.o), atol=1e-2)
+
+
+def test_pallas_backend_end_to_end(rng):
+    """encode_plane with backend='pallas' (interpreted on CPU) matches jnp."""
+    from fractencode_tpu import encode_plane
+
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    res_jnp = encode_plane(img, EncoderConfig(backend="jnp"))
+    res_pl = encode_plane(img, EncoderConfig(backend="pallas"))
+    np.testing.assert_array_equal(
+        np.asarray(res_pl.domain_idx), np.asarray(res_jnp.domain_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_pl.transform), np.asarray(res_jnp.transform)
+    )

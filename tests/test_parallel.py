@@ -1,0 +1,61 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(conftest sets --xla_force_host_platform_device_count=8)."""
+import jax
+import numpy as np
+import pytest
+
+from fractencode_tpu import EncoderConfig, decode_plane, encode_plane
+from fractencode_tpu.parallel import (
+    decode_batch_sharded,
+    encode_batch_sharded,
+    make_mesh,
+)
+
+
+def _images(rng, b=2, n=64):
+    return rng.integers(0, 256, size=(b, n, n), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def devices_ok():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+@pytest.mark.parametrize("strategy", ["ranges", "domains"])
+def test_sharded_encode_matches_single_device(rng, devices_ok, strategy):
+    cfg = EncoderConfig(source_size=16, target_size=4)
+    imgs = _images(rng, b=2, n=64)
+    mesh = make_mesh(n_data=2, n_search=4)
+    results = encode_batch_sharded(imgs, cfg, mesh, strategy=strategy)
+    for i in range(2):
+        single = encode_plane(imgs[i], cfg)
+        np.testing.assert_array_equal(
+            np.asarray(results[i].domain_idx), np.asarray(single.domain_idx),
+            err_msg=f"strategy={strategy} image={i}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(results[i].transform), np.asarray(single.transform)
+        )
+        np.testing.assert_allclose(
+            np.asarray(results[i].s), np.asarray(single.s), atol=1e-6
+        )
+
+
+def test_sharded_decode_matches_single_device(rng, devices_ok):
+    cfg = EncoderConfig()
+    imgs = _images(rng, b=2, n=64)
+    mesh = make_mesh(n_data=2, n_search=4)
+    results = encode_batch_sharded(imgs, cfg, mesh)
+    outs, iters, mses = decode_batch_sharded(results, mesh)
+    for i in range(2):
+        single = encode_plane(imgs[i], cfg)
+        out, it, _ = decode_plane(single)
+        np.testing.assert_array_equal(np.asarray(outs[i]), np.asarray(out))
+
+
+def test_mesh_shapes(devices_ok):
+    mesh = make_mesh(n_data=2, n_search=4)
+    assert mesh.shape == {"data": 2, "search": 4}
+    with pytest.raises(ValueError):
+        make_mesh(n_data=16, n_search=16)
