@@ -33,6 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_decode", action="store_true", help="dump decode iterates")
     p.add_argument("--noclassifier", action="store_true")
     p.add_argument("--log", action="store_true", help="verbose progress")
+    p.add_argument("--quadtree", action="store_true",
+                   help="adaptive quadtree ranges (the reference parsed this "
+                        "flag but never implemented it)")
+    p.add_argument("--qt-min", type=int, default=4, help="finest range size")
+    p.add_argument("--qt-max", type=int, default=16, help="coarsest range size")
+    p.add_argument("--qt-threshold", type=float, default=50.0,
+                   help="per-pixel MSE acceptance threshold per level")
     # new capabilities
     p.add_argument("--transforms", type=int, default=4, choices=range(1, 9),
                    help="number of dihedral isometries to search (reference: 4)")
@@ -65,10 +72,42 @@ def _config_from_args(args):
     return EncoderConfig(criterion=args.criterion, so_mode=args.so_mode, **kw)
 
 
+def _encode_one_quadtree(plane, args, cfg, dcfg, label=""):
+    from .core.metrics import psnr
+    from .encode.quadtree import (
+        QuadtreeConfig,
+        decode_plane_quadtree,
+        encode_plane_quadtree,
+    )
+
+    qcfg = QuadtreeConfig(min_size=args.qt_min, max_size=args.qt_max,
+                          error_threshold=args.qt_threshold)
+    t0 = time.perf_counter()
+    res = encode_plane_quadtree(plane, cfg, qcfg)
+    res.levels[0].domain_idx.block_until_ready()
+    t1 = time.perf_counter()
+    print(f"encoded{label} in {t1 - t0:.4g} s.")
+    leaves = [int(np.asarray(l.accepted).sum()) for l in res.levels]
+    print(f"{res.num_leaves} leaves "
+          + " ".join(f"{l.range_size}px:{n}" for l, n in zip(res.levels, leaves)))
+
+    t0 = time.perf_counter()
+    out, iters, mse = decode_plane_quadtree(res, dcfg)
+    out.block_until_ready()
+    t1 = time.perf_counter()
+    print(f"decoded{label} in {t1 - t0:.4g} s.")
+    print(f"decode stats: {int(iters)} steps, rms: {float(mse):.6g}")
+    print(f"psnr: {float(psnr(plane, out)):.4f} dB")
+    return res, np.asarray(out)
+
+
 def _encode_one(plane, args, cfg, dcfg, label=""):
     from .core.metrics import psnr
     from .decode import decode_plane, decode_steps_py
     from .encode import encode_plane
+
+    if args.quadtree:
+        return _encode_one_quadtree(plane, args, cfg, dcfg, label)
 
     t0 = time.perf_counter()
     res = encode_plane(plane, cfg)
@@ -124,17 +163,25 @@ def main(argv=None) -> int:
 
     if args.decode_file:
         from .codec import unpack_result
+        from .codec.bitstream_quadtree import unpack_quadtree
         from .decode import decode_plane
         from .image import save_plane
 
         try:
             with open(args.decode_file, "rb") as f:
-                res = unpack_result(f.read())
+                blob = f.read()
+            if blob[:4] == b"FTQ1":
+                res = unpack_quadtree(blob)
+                from .encode.quadtree import decode_plane_quadtree
+
+                out, iters, mse = decode_plane_quadtree(res, dcfg)
+            else:
+                res = unpack_result(blob)
+                out, iters, mse = decode_plane(res, dcfg)
         except Exception as e:  # struct.error / ValueError / truncated file
             print(f"error: not a valid bitstream: {args.decode_file} ({e})",
                   file=sys.stderr)
             return 2
-        out, iters, mse = decode_plane(res, dcfg)
         save_plane(np.asarray(out), args.result)
         print(f"decoded {args.decode_file}: {int(iters)} steps, rms {float(mse):.6g}")
         return 0
@@ -165,10 +212,14 @@ def main(argv=None) -> int:
 
     if args.out:
         from .codec import pack_result
+        from .codec.bitstream_quadtree import pack_quadtree
 
         # mean-centred parameterization: o-quantization error stays ~1 gray
         # level instead of being amplified by s (see codec/bitstream.py)
-        blob = b"".join(pack_result(r, plane=pl) for r, pl in results)
+        if args.quadtree:
+            blob = b"".join(pack_quadtree(r) for r, _ in results)
+        else:
+            blob = b"".join(pack_result(r, plane=pl) for r, pl in results)
         with open(args.out, "wb") as f:
             f.write(blob)
         raw = y.size * (3 if args.color else 1)

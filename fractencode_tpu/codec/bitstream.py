@@ -122,17 +122,22 @@ def pack_result(
 
     d_bits = _bit_width(num_domains)
     t_bits = 3
-    bits = np.concatenate(
-        [
-            valid.astype(np.uint8)[:, None],
-            _ints_to_bits(dom, d_bits),
-            _ints_to_bits(tr, t_bits),
-            _ints_to_bits(s_q, s_bits),
-            _ints_to_bits(o_q, o_bits),
-        ],
-        axis=1,
-    )
-    payload = np.packbits(bits.reshape(-1)).tobytes()
+    from .native import pack_items_native
+
+    payload = pack_items_native(dom, tr, s_q, o_q, valid, d_bits, t_bits,
+                                s_bits, o_bits)
+    if payload is None:  # no compiler available: numpy fallback
+        bits = np.concatenate(
+            [
+                valid.astype(np.uint8)[:, None],
+                _ints_to_bits(dom, d_bits),
+                _ints_to_bits(tr, t_bits),
+                _ints_to_bits(s_q, s_bits),
+                _ints_to_bits(o_q, o_bits),
+            ],
+            axis=1,
+        )
+        payload = np.packbits(bits.reshape(-1)).tobytes()
 
     header = struct.pack(
         _HDR_FMT,
@@ -173,18 +178,25 @@ def unpack_result(data: bytes):
 
     d_bits = _bit_width(num_domains)
     t_bits = 3
-    item_bits = 1 + d_bits + t_bits + s_bits + o_bits
-    total_bits = num_ranges * item_bits
-    bits = np.unpackbits(
-        np.frombuffer(data[hdr_size:], dtype=np.uint8), count=total_bits
-    ).reshape(num_ranges, item_bits)
+    from .native import unpack_items_native
 
-    pos = 0
-    valid = bits[:, 0].astype(bool); pos += 1
-    dom = _bits_to_ints(bits[:, pos : pos + d_bits]); pos += d_bits
-    tr = _bits_to_ints(bits[:, pos : pos + t_bits]); pos += t_bits
-    s_q = _bits_to_ints(bits[:, pos : pos + s_bits]); pos += s_bits
-    o_q = _bits_to_ints(bits[:, pos : pos + o_bits])
+    native = unpack_items_native(data[hdr_size:], num_ranges, d_bits, t_bits,
+                                 s_bits, o_bits)
+    if native is not None:
+        dom, tr, s_q, o_q, valid = native
+    else:
+        item_bits = 1 + d_bits + t_bits + s_bits + o_bits
+        total_bits = num_ranges * item_bits
+        bits = np.unpackbits(
+            np.frombuffer(data[hdr_size:], dtype=np.uint8), count=total_bits
+        ).reshape(num_ranges, item_bits)
+
+        pos = 0
+        valid = bits[:, 0].astype(bool); pos += 1
+        dom = _bits_to_ints(bits[:, pos : pos + d_bits]); pos += d_bits
+        tr = _bits_to_ints(bits[:, pos : pos + t_bits]); pos += t_bits
+        s_q = _bits_to_ints(bits[:, pos : pos + s_bits]); pos += s_bits
+        o_q = _bits_to_ints(bits[:, pos : pos + o_bits])
 
     s = dequantize(s_q, s_min, s_max, s_bits)
     o = dequantize(o_q, o_min, o_max, o_bits)

@@ -1,0 +1,140 @@
+"""Bitstream for quadtree encodes.
+
+Layout: magic 'FTQ1', header (image dims + level geometry + per-level
+quantizer ranges), then per level:
+  * the acceptance bitmap (one bit per grid position — this IS the tree
+    structure, no pointers needed because every level is a full grid), then
+  * packed (domain_idx, transform, s_q, o_q) for the accepted blocks only.
+
+Uses the same robust-range 5/7-bit quantization as the uniform stream; s and
+o are stored in plain (s, o) parameterization here (mean-centred is a uniform-
+stream option; quadtree levels re-derive means differently and plain o keeps
+the decoder identical to the in-memory path).
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .bitstream import _bit_width, _bits_to_ints, _ints_to_bits
+from .quantize import DEFAULT_O_BITS, DEFAULT_S_BITS, dequantize, quantize
+
+__all__ = ["pack_quadtree", "unpack_quadtree"]
+
+_MAGIC = b"FTQ1"
+_VERSION = 1
+_HDR_FMT = "<4sHHIIHH"  # magic, version, nlevels, width, height, sbits, obits
+_LVL_FMT = "<HHHIffff"  # range, domain, step, naccept, smin, smax, omin, omax
+
+
+def pack_quadtree(result, s_bits: int = DEFAULT_S_BITS,
+                  o_bits: int = DEFAULT_O_BITS) -> bytes:
+    parts = [
+        struct.pack(_HDR_FMT, _MAGIC, _VERSION, len(result.levels),
+                    result.width, result.height, s_bits, o_bits)
+    ]
+    for lvl in result.levels:
+        acc = np.asarray(lvl.accepted)
+        sel = np.where(acc)[0]
+        s = np.asarray(lvl.s, np.float64)[sel]
+        o = np.asarray(lvl.o, np.float64)[sel]
+        dom = np.asarray(lvl.domain_idx, np.uint32)[sel]
+        tr = np.asarray(lvl.transform, np.uint32)[sel]
+
+        if len(sel):
+            s_min, s_max = (float(x) for x in np.percentile(s, [0.5, 99.5]))
+            o_min, o_max = (float(x) for x in np.percentile(o, [0.5, 99.5]))
+        else:
+            s_min = s_max = o_min = o_max = 0.0
+
+        nx = (result.width - lvl.domain_size) // lvl.domain_step + 1
+        ny = (result.height - lvl.domain_size) // lvl.domain_step + 1
+        d_bits = _bit_width(nx * ny)
+
+        parts.append(struct.pack(_LVL_FMT, lvl.range_size, lvl.domain_size,
+                                 lvl.domain_step, len(sel),
+                                 s_min, s_max, o_min, o_max))
+        parts.append(np.packbits(acc.astype(np.uint8)).tobytes())
+        if len(sel):
+            bits = np.concatenate(
+                [
+                    _ints_to_bits(dom, d_bits),
+                    _ints_to_bits(tr, 3),
+                    _ints_to_bits(quantize(s, s_min, s_max, s_bits), s_bits),
+                    _ints_to_bits(quantize(o, o_min, o_max, o_bits), o_bits),
+                ],
+                axis=1,
+            )
+            parts.append(np.packbits(bits.reshape(-1)).tobytes())
+    return b"".join(parts)
+
+
+def unpack_quadtree(data: bytes):
+    import jax.numpy as jnp
+
+    from ..encode.quadtree import QuadtreeLevel, QuadtreeResult
+
+    off = struct.calcsize(_HDR_FMT)
+    magic, version, nlevels, width, height, s_bits, o_bits = struct.unpack(
+        _HDR_FMT, data[:off]
+    )
+    if magic != _MAGIC or version != _VERSION:
+        raise ValueError("bad quadtree bitstream header")
+
+    levels = []
+    for _ in range(nlevels):
+        lvl_size = struct.calcsize(_LVL_FMT)
+        (range_size, domain_size, domain_step, naccept,
+         s_min, s_max, o_min, o_max) = struct.unpack(
+            _LVL_FMT, data[off : off + lvl_size]
+        )
+        off += lvl_size
+        n_blocks = (width // range_size) * (height // range_size)
+        bm_bytes = -(-n_blocks // 8)
+        acc = np.unpackbits(
+            np.frombuffer(data[off : off + bm_bytes], np.uint8), count=n_blocks
+        ).astype(bool)
+        off += bm_bytes
+
+        nx = (width - domain_size) // domain_step + 1
+        ny = (height - domain_size) // domain_step + 1
+        d_bits = _bit_width(nx * ny)
+        item_bits = d_bits + 3 + s_bits + o_bits
+        dom = np.zeros(n_blocks, np.int32)
+        tr = np.zeros(n_blocks, np.int32)
+        s = np.zeros(n_blocks, np.float32)
+        o = np.zeros(n_blocks, np.float32)
+        if naccept:
+            nbytes = -(-naccept * item_bits // 8)
+            bits = np.unpackbits(
+                np.frombuffer(data[off : off + nbytes], np.uint8),
+                count=naccept * item_bits,
+            ).reshape(naccept, item_bits)
+            off += nbytes
+            p = 0
+            dom_v = _bits_to_ints(bits[:, p : p + d_bits]); p += d_bits
+            tr_v = _bits_to_ints(bits[:, p : p + 3]); p += 3
+            s_v = dequantize(_bits_to_ints(bits[:, p : p + s_bits]), s_min, s_max, s_bits)
+            p += s_bits
+            o_v = dequantize(_bits_to_ints(bits[:, p : p + o_bits]), o_min, o_max, o_bits)
+            sel = np.where(acc)[0]
+            dom[sel] = dom_v
+            tr[sel] = tr_v
+            s[sel] = s_v
+            o[sel] = o_v
+
+        levels.append(
+            QuadtreeLevel(
+                domain_idx=jnp.asarray(dom),
+                transform=jnp.asarray(tr),
+                s=jnp.asarray(s),
+                o=jnp.asarray(o),
+                error=jnp.zeros(n_blocks, jnp.float32),
+                accepted=jnp.asarray(acc),
+                range_size=range_size,
+                domain_size=domain_size,
+                domain_step=domain_step,
+            )
+        )
+    return QuadtreeResult(levels=levels, width=width, height=height)

@@ -53,7 +53,8 @@ _CONDITIONS = [
 
 def classify_from_quadrants(quads: jnp.ndarray) -> jnp.ndarray:
     """[N] i32 class in {-1, 0..5} from [N, 4] quadrant sums (a1..a4)."""
-    a = quads.astype(jnp.int64) if quads.dtype != jnp.float32 else quads
+    # i32 is ample: quadrant sums of a 255-valued 64x64 block reach ~1e6.
+    a = quads.astype(jnp.int32) if quads.dtype != jnp.float32 else quads
     result = jnp.full(quads.shape[:-1], -1, dtype=jnp.int32)
     for cls, triple in _CONDITIONS:
         match = None

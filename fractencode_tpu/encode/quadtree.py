@@ -1,0 +1,284 @@
+"""Quadtree adaptive range partitioning — TPU-idiomatic.
+
+The reference parses ``--quadtree`` but never implements it
+(``/root/reference/main.cpp:75-76``; the flag is dead — SURVEY.md section 2).
+This module supplies the real feature, designed for static shapes instead of
+recursion:
+
+  * encode EVERY level of the size pyramid (range sizes ``min_size`` ..
+    ``max_size``, powers of two) as an independent full uniform grid —
+    each level is exactly the single-level search, so the Pallas/MXU path
+    is reused unchanged;
+  * then select per-block depth with a mask cascade: a block is *accepted*
+    at the coarsest level where its per-pixel error meets the threshold
+    (finest level accepts whatever remains).  Children of accepted blocks
+    are masked out by upsampling the ancestor-coverage mask — no tree
+    structure ever materializes, just one boolean array per level.
+
+Decode composes per-level decode steps with per-pixel masks: every level
+produces a full image (its grid tiles the plane), and the output is the
+mask-weighted sum.  L levels cost L gathers of H*W pixels per iteration —
+static shapes, no scatter.
+
+Quadrant-split geometry matches ``GridItemBase``'s topLeft/topRight/...
+helpers (``image/partition2.hpp:19-30``): each parent splits into 4
+half-size children in row-major order.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.classify import classify_grid
+from ..core.grid import uniform_grid
+from ..core.stats import integral_image
+from ..params import DecoderConfig, EncoderConfig
+from .codebook import build_codebook, extract_ranges
+from .matcher import search, search_pallas
+
+__all__ = ["QuadtreeConfig", "QuadtreeResult", "encode_plane_quadtree",
+           "decode_plane_quadtree"]
+
+
+@dataclasses.dataclass(frozen=True)
+class QuadtreeConfig:
+    min_size: int = 4  # finest range size (BASELINE config 3: range 4..16)
+    max_size: int = 16  # coarsest range size
+    error_threshold: float = 50.0  # accept level if per-pixel MSE <= this
+    domain_ratio: int = 4  # domain = ratio * range per level
+    lattice: int = 2  # domain step = domain_size // lattice
+
+    def __post_init__(self):
+        if self.min_size > self.max_size:
+            raise ValueError("min_size > max_size")
+        for s in (self.min_size, self.max_size, self.domain_ratio):
+            if s & (s - 1):
+                raise ValueError("sizes must be powers of two")
+
+    @property
+    def level_sizes(self) -> tuple[int, ...]:
+        """Coarse -> fine range sizes."""
+        sizes = []
+        s = self.max_size
+        while s >= self.min_size:
+            sizes.append(s)
+            s //= 2
+        return tuple(sizes)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuadtreeLevel:
+    """One pyramid level: a full uniform-grid encode + acceptance mask."""
+
+    domain_idx: jnp.ndarray  # [R_l] i32
+    transform: jnp.ndarray  # [R_l] i32
+    s: jnp.ndarray  # [R_l] f32
+    o: jnp.ndarray  # [R_l] f32
+    error: jnp.ndarray  # [R_l] f32 per-pixel MSE under the stored map
+    accepted: jnp.ndarray  # [R_l] bool — this block is a leaf of the tree
+
+    range_size: int = dataclasses.field(metadata=dict(static=True))
+    domain_size: int = dataclasses.field(metadata=dict(static=True))
+    domain_step: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuadtreeResult:
+    levels: list[QuadtreeLevel]
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_leaves(self) -> int:
+        return int(sum(int(np.asarray(l.accepted).sum()) for l in self.levels))
+
+
+def _per_pixel_error(res, k: int, criterion: str, domain_area: int):
+    """Convert a search distance to per-pixel MSE units for thresholding."""
+    if criterion == "raw":
+        # raw distance = sum / domain_area (metrics.h:49); per-pixel = sum / K
+        return res.distance * (domain_area / k)
+    return res.distance  # affine criterion is already per range pixel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "range_size", "domain_size", "domain_step",
+                     "backend", "interpret"),
+)
+def _encode_level(plane, plane_f32, cfg: EncoderConfig, range_size: int,
+                  domain_size: int, domain_step: int, backend: str,
+                  interpret: bool):
+    h, w = plane.shape
+    domain_grid = uniform_grid(w, h, domain_size, domain_step)
+    range_grid = uniform_grid(w, h, range_size, range_size)
+    cb = build_codebook(plane_f32, domain_grid, range_size, cfg.num_transforms)
+    ranges = extract_ranges(plane_f32, range_size)
+    sum_a = ranges.sum(axis=-1)
+    sum_a2 = (ranges * ranges).sum(axis=-1)
+    if cfg.use_classifier:
+        ii = integral_image(plane)
+        dcls = classify_grid(plane, domain_grid, ii=ii)
+        rcls = classify_grid(plane, range_grid, ii=ii)
+    else:
+        dcls = rcls = None
+    if backend == "pallas":
+        res = search_pallas(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
+                            interpret=interpret)
+    else:
+        res = search(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg)
+    err = _per_pixel_error(res, range_size * range_size, cfg.criterion,
+                           domain_size * domain_size)
+    err = jnp.where(res.valid, err, jnp.inf)
+    return res, err
+
+
+def _upsample_mask(mask2d: jnp.ndarray) -> jnp.ndarray:
+    """[ny, nx] bool -> [2ny, 2nx] bool (each parent covers 4 children)."""
+    return jnp.repeat(jnp.repeat(mask2d, 2, axis=0), 2, axis=1)
+
+
+def _encode_quadtree_impl(plane, cfg: EncoderConfig, qcfg: QuadtreeConfig,
+                          backend: str, interpret: bool):
+    """Per-level jitted encodes + a tiny jitted selection cascade.
+
+    Deliberately NOT one fused jit over the whole pyramid: each level's
+    program is the size of the proven single-level encode, which keeps
+    (remote-)compile latency bounded and lets levels share compile cache
+    entries with uniform-grid encodes of the same geometry."""
+    h, w = plane.shape
+    plane_f32 = plane.astype(jnp.float32)
+    levels = []
+    covered = None  # [ny, nx] bool at current level resolution
+    sizes = qcfg.level_sizes
+    for i, rs in enumerate(sizes):
+        ds = rs * qcfg.domain_ratio
+        step = ds // qcfg.lattice
+        lcfg = dataclasses.replace(cfg, source_size=ds, target_size=rs,
+                                   lattice=qcfg.lattice)
+        res, err = _encode_level(plane, plane_f32, lcfg, rs, ds, step,
+                                 backend, interpret)
+        ny, nx = h // rs, w // rs
+        err2d = err.reshape(ny, nx)
+        if covered is None:
+            covered = jnp.zeros((ny, nx), bool)
+        is_last = i == len(sizes) - 1
+        if is_last:
+            accept2d = ~covered
+        else:
+            accept2d = (~covered) & (err2d <= qcfg.error_threshold)
+        covered = covered | accept2d
+        levels.append(
+            QuadtreeLevel(
+                domain_idx=res.domain_idx,
+                transform=res.transform,
+                s=res.s,
+                o=res.o,
+                error=err,
+                accepted=accept2d.reshape(-1),
+                range_size=rs,
+                domain_size=ds,
+                domain_step=step,
+            )
+        )
+        if not is_last:
+            covered = _upsample_mask(covered)
+    return levels
+
+
+def encode_plane_quadtree(plane, cfg: EncoderConfig | None = None,
+                          qcfg: QuadtreeConfig | None = None) -> QuadtreeResult:
+    """Adaptive-depth encode: coarse blocks where they fit, fine where needed."""
+    cfg = cfg or EncoderConfig()
+    qcfg = qcfg or QuadtreeConfig()
+    plane = jnp.asarray(plane, jnp.uint8)
+    h, w = plane.shape
+    if h % qcfg.max_size or w % qcfg.max_size:
+        raise ValueError("image not aligned to the coarsest range size")
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    interpret = jax.default_backend() != "tpu"
+    levels = _encode_quadtree_impl(plane, cfg, qcfg, backend, interpret)
+    return QuadtreeResult(levels=levels, width=w, height=h)
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def _level_tables(level: QuadtreeLevel, width: int):
+    from ..decode.decoder import _global_tap_tables
+
+    taps = jnp.asarray(
+        _global_tap_tables(level.domain_size, level.range_size, width)
+    )
+    nx = (width - level.domain_size) // level.domain_step + 1
+    ox = (level.domain_idx % nx) * level.domain_step
+    oy = (level.domain_idx // nx) * level.domain_step
+    origin_flat = oy.astype(jnp.int32) * width + ox.astype(jnp.int32)
+    return origin_flat[:, None, None] + taps[level.transform]  # [R, K, 4]
+
+
+def _level_step(img_u8, idx, s, o, height, width, range_size):
+    """Full-level decode image (same math as the uniform decoder)."""
+    flat = img_u8.astype(jnp.float32).reshape(-1)
+    samp = flat[idx].sum(axis=-1) * 0.25
+    out = s[:, None] * samp + o[:, None]
+    out = jnp.floor(jnp.clip(out, 0.0, 255.0))
+    ny = height // range_size
+    nx = width // range_size
+    return (
+        out.reshape(ny, nx, range_size, range_size)
+        .transpose(0, 2, 1, 3)
+        .reshape(height, width)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dcfg",))
+def decode_plane_quadtree(result: QuadtreeResult,
+                          dcfg: DecoderConfig = DecoderConfig()):
+    """Fixed-point decode of a quadtree encode. Returns (u8 image, iters, mse)."""
+    h, w = result.height, result.width
+
+    idxs = [_level_tables(l, w) for l in result.levels]
+    pixel_masks = [
+        jnp.repeat(
+            jnp.repeat(
+                l.accepted.reshape(h // l.range_size, w // l.range_size),
+                l.range_size, axis=0,
+            ),
+            l.range_size, axis=1,
+        )
+        for l in result.levels
+    ]
+
+    def step(img):
+        out = jnp.zeros((h, w), jnp.float32)
+        for l, idx, pmask in zip(result.levels, idxs, pixel_masks):
+            lvl = _level_step(img, idx, l.s, l.o, h, w, l.range_size)
+            out = jnp.where(pmask, lvl, out)
+        return out.astype(jnp.uint8)
+
+    init = jnp.full((h, w), dcfg.initial_value, dtype=jnp.uint8)
+
+    def cond(c):
+        return (c[1] < dcfg.max_iterations) & ~c[3]
+
+    def body(c):
+        img, steps, _, _ = c
+        nxt = step(img)
+        d = nxt.astype(jnp.float32) - img.astype(jnp.float32)
+        mse = jnp.sum(d * d) / (h * w)
+        return nxt, steps + 1, mse, mse < dcfg.epsilon
+
+    img, steps, mse, done = jax.lax.while_loop(
+        cond, body, (init, jnp.int32(0), jnp.float32(jnp.inf), jnp.bool_(False))
+    )
+    return img, jnp.where(done, steps - 1, steps), mse

@@ -39,7 +39,11 @@ from ..encode.matcher import SearchResult, _BIG, search, solve_so
 from ..params import EncoderConfig
 from .mesh import DATA_AXIS, SEARCH_AXIS
 
-__all__ = ["encode_batch_sharded", "decode_batch_sharded"]
+__all__ = [
+    "encode_batch_sharded",
+    "decode_batch_sharded",
+    "encode_plane_sharded_image",
+]
 
 
 def _plane_search_arrays(plane, cfg: EncoderConfig, r_lo: int, r_count: int):
@@ -222,6 +226,105 @@ def encode_batch_sharded(
         )
         for i in range(b)
     ]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _encode_sharded_image_impl(plane, cfg: EncoderConfig, mesh: Mesh):
+    h, w = plane.shape
+    n = mesh.shape[SEARCH_AXIS]
+    hs = h // n  # rows per device
+    sw = cfg.source_size
+    step = cfg.domain_step
+    halo = sw - step  # rows a device needs from its southern neighbour
+    assert hs % step == 0 and hs % cfg.target_size == 0, (hs, step)
+    assert hs >= sw, "shard must be at least one domain tall"
+
+    domain_grid_global = uniform_grid(w, h, sw, step)
+    ny_global = domain_grid_global.ny
+    nx = domain_grid_global.nx
+    rows_per_dev = hs // step  # domain rows anchored in each shard
+    d_local = rows_per_dev * nx
+
+    def body(plane_local):
+        """plane_local: [hs, W] — this device's contiguous row band.
+
+        Halo exchange: domains whose origin row is near the south edge read
+        ``sw - step`` rows owned by the next device — fetched with a ring
+        ppermute over ICI (the reference never needed this: one address
+        space; SURVEY.md section 2 maps it to the 2048^2+ configs)."""
+        idx = jax.lax.axis_index(SEARCH_AXIS)
+        top_rows = jax.lax.ppermute(
+            plane_local[:halo],
+            SEARCH_AXIS,
+            perm=[((i + 1) % n, i) for i in range(n)],  # south -> north
+        )
+        ext = jnp.concatenate([plane_local, top_rows], axis=0)  # [hs+halo, W]
+        ext_f32 = ext.astype(jnp.float32)
+
+        # local codebook over this band's domain rows (static count; the last
+        # device's rows that fall off the image are masked invalid below)
+        local_grid = uniform_grid(w, hs + halo, sw, step)
+        assert local_grid.ny == rows_per_dev, (local_grid.ny, rows_per_dev)
+        cb_local = build_codebook(ext_f32, local_grid, cfg.target_size,
+                                  cfg.num_transforms)
+
+        # replicate the codebook: all_gather over ICI; device-major concat ==
+        # global row-major domain order because bands are contiguous rows
+        vals = jax.lax.all_gather(cb_local.values, SEARCH_AXIS)
+        sums = jax.lax.all_gather(cb_local.sum, SEARCH_AXIS)
+        sums2 = jax.lax.all_gather(cb_local.sum_sq, SEARCH_AXIS)
+        d_total = n * d_local
+        cb = type(cb_local)(
+            values=vals.reshape(d_total, *cb_local.values.shape[1:]),
+            sum=sums.reshape(d_total, *cb_local.sum.shape[1:]),
+            sum_sq=sums2.reshape(d_total, *cb_local.sum_sq.shape[1:]),
+            grid=domain_grid_global,
+        )
+        global_row = jnp.arange(d_total) // nx
+        domain_mask = global_row < ny_global
+
+        ranges = extract_ranges(plane_local.astype(jnp.float32), cfg.target_size)
+        sum_a = ranges.sum(axis=-1)
+        sum_a2 = (ranges * ranges).sum(axis=-1)
+
+        if cfg.use_classifier:
+            ii = integral_image(ext)
+            dcls_local = classify_grid(ext, local_grid, ii=ii)
+            dcls = jax.lax.all_gather(dcls_local, SEARCH_AXIS).reshape(d_total)
+            range_grid = uniform_grid(w, hs, cfg.target_size, cfg.target_size)
+            rcls = classify_grid(plane_local, range_grid,
+                                 ii=integral_image(plane_local))
+        else:
+            dcls = None
+            rcls = None
+
+        res = search(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
+                     domain_mask=domain_mask)
+        return _result_tuple(res)
+
+    out_spec = tuple([P(SEARCH_AXIS)] * 6)
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SEARCH_AXIS, None),),
+        out_specs=out_spec,
+        check_vma=False,
+    )(plane)
+
+
+def encode_plane_sharded_image(plane, cfg: EncoderConfig, mesh: Mesh) -> EncodeResult:
+    """Encode ONE large plane with the image itself sharded by rows across
+    the 'search' axis: halo exchange for boundary domains + codebook
+    all_gather (BASELINE config 4). Bitwise-matches the single-device encode.
+    """
+    plane = jnp.asarray(plane, jnp.uint8)
+    h, w = plane.shape
+    dom, tr, s, o, dist, valid = _encode_sharded_image_impl(plane, cfg, mesh)
+    return EncodeResult(
+        domain_idx=dom, transform=tr, s=s, o=o, distance=dist, valid=valid,
+        width=w, height=h, source_size=cfg.source_size,
+        target_size=cfg.target_size, domain_step=cfg.domain_step,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "max_iterations", "epsilon",

@@ -59,3 +59,38 @@ def test_mesh_shapes(devices_ok):
     assert mesh.shape == {"data": 2, "search": 4}
     with pytest.raises(ValueError):
         make_mesh(n_data=16, n_search=16)
+
+
+def test_image_sharded_halo_encode_matches_single(rng, devices_ok):
+    """BASELINE config 4 mechanics: image sharded by rows, halo exchange for
+    boundary domains, codebook all_gather — must match single-device bitwise."""
+    from fractencode_tpu.parallel.sharded import encode_plane_sharded_image
+
+    cfg = EncoderConfig(source_size=16, target_size=4)
+    img = rng.integers(0, 256, size=(128, 64), dtype=np.uint8)
+    mesh = make_mesh(n_data=1, n_search=4)
+    sharded = encode_plane_sharded_image(img, cfg, mesh)
+    single = encode_plane(img, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.domain_idx), np.asarray(single.domain_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.transform), np.asarray(single.transform)
+    )
+    np.testing.assert_allclose(np.asarray(sharded.s), np.asarray(single.s), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.valid), np.asarray(single.valid)
+    )
+
+
+def test_image_sharded_halo_no_classifier(rng, devices_ok):
+    from fractencode_tpu.parallel.sharded import encode_plane_sharded_image
+
+    cfg = EncoderConfig(source_size=16, target_size=4, use_classifier=False)
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    mesh = make_mesh(n_data=1, n_search=2)
+    sharded = encode_plane_sharded_image(img, cfg, mesh)
+    single = encode_plane(img, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.domain_idx), np.asarray(single.domain_idx)
+    )

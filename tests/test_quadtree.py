@@ -1,0 +1,114 @@
+"""Quadtree adaptive partitioning tests (the feature the reference's
+--quadtree flag stubs but never implements; BASELINE config 3)."""
+import numpy as np
+import pytest
+
+from fractencode_tpu import DecoderConfig, EncoderConfig
+from fractencode_tpu.core.metrics import psnr
+from fractencode_tpu.encode.quadtree import (
+    QuadtreeConfig,
+    decode_plane_quadtree,
+    encode_plane_quadtree,
+)
+
+
+def test_levels_partition_the_plane(rng):
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    qcfg = QuadtreeConfig(min_size=4, max_size=16, error_threshold=100.0)
+    res = encode_plane_quadtree(img, EncoderConfig(), qcfg)
+    assert [l.range_size for l in res.levels] == [16, 8, 4]
+    # accepted blocks tile the image exactly once
+    total_area = sum(
+        int(np.asarray(l.accepted).sum()) * l.range_size ** 2 for l in res.levels
+    )
+    assert total_area == 64 * 64
+    # no child of an accepted parent is accepted
+    for parent, child in zip(res.levels, res.levels[1:]):
+        pny = 64 // parent.range_size
+        pa = np.asarray(parent.accepted).reshape(pny, pny)
+        ca = np.asarray(child.accepted).reshape(2 * pny, 2 * pny)
+        covered = np.repeat(np.repeat(pa, 2, 0), 2, 1)
+        assert not (covered & ca).any()
+
+
+def test_flat_image_stays_coarse():
+    img = np.full((64, 64), 80, dtype=np.uint8)
+    res = encode_plane_quadtree(img, EncoderConfig(),
+                                QuadtreeConfig(error_threshold=10.0))
+    assert np.asarray(res.levels[0].accepted).all()
+    assert res.num_leaves == (64 // 16) ** 2
+
+
+def test_threshold_zero_goes_fine(rng):
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    res = encode_plane_quadtree(img, EncoderConfig(),
+                                QuadtreeConfig(error_threshold=0.0))
+    # pure noise never meets threshold 0 -> everything lands on the finest level
+    assert not np.asarray(res.levels[0].accepted).any()
+    assert np.asarray(res.levels[-1].accepted).all()
+
+
+def test_quadtree_roundtrip_quality(lenna_y):
+    img = np.asarray(lenna_y)[128:256, 128:256]
+    cfg = EncoderConfig()
+    res = encode_plane_quadtree(img, cfg, QuadtreeConfig(error_threshold=40.0))
+    out, iters, mse = decode_plane_quadtree(res, DecoderConfig())
+    p = float(psnr(img, np.asarray(out)))
+    assert p > 25.0, p
+    # adaptive tree really is adaptive on a natural image
+    leaves_per_level = [int(np.asarray(l.accepted).sum()) for l in res.levels]
+    assert sum(1 for n in leaves_per_level if n > 0) >= 2, leaves_per_level
+
+
+def test_quadtree_beats_uniform_at_equal_leaves(lenna_y):
+    """With a sane threshold the quadtree should reach uniform-4x4 quality
+    using far fewer leaves (rate), or better quality at equal leaves."""
+    from fractencode_tpu import decode_plane, encode_plane
+
+    img = np.asarray(lenna_y)[128:256, 128:256]
+    uni = encode_plane(img, EncoderConfig())
+    out_u, _, _ = decode_plane(uni)
+    p_uniform = float(psnr(img, np.asarray(out_u)))
+
+    res = encode_plane_quadtree(img, EncoderConfig(),
+                                QuadtreeConfig(error_threshold=25.0))
+    out_q, _, _ = decode_plane_quadtree(res)
+    p_quad = float(psnr(img, np.asarray(out_q)))
+
+    n_uniform = uni.num_ranges
+    assert res.num_leaves < n_uniform
+    assert p_quad > p_uniform - 3.0, (p_quad, p_uniform, res.num_leaves)
+
+
+def test_invalid_configs():
+    with pytest.raises(ValueError):
+        QuadtreeConfig(min_size=8, max_size=4)
+    with pytest.raises(ValueError):
+        QuadtreeConfig(min_size=3, max_size=12)
+
+def test_quadtree_bitstream_roundtrip(lenna_y):
+    from fractencode_tpu.codec.bitstream_quadtree import (
+        pack_quadtree,
+        unpack_quadtree,
+    )
+
+    img = np.asarray(lenna_y)[:64, :64]
+    res = encode_plane_quadtree(img, EncoderConfig(),
+                                QuadtreeConfig(error_threshold=30.0))
+    blob = pack_quadtree(res)
+    back = unpack_quadtree(blob)
+    assert back.width == 64 and back.num_leaves == res.num_leaves
+    for a, b in zip(res.levels, back.levels):
+        acc = np.asarray(a.accepted)
+        np.testing.assert_array_equal(acc, np.asarray(b.accepted))
+        np.testing.assert_array_equal(
+            np.asarray(a.domain_idx)[acc], np.asarray(b.domain_idx)[acc]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.transform)[acc], np.asarray(b.transform)[acc]
+        )
+    out_a, _, _ = decode_plane_quadtree(res)
+    out_b, _, _ = decode_plane_quadtree(back)
+    p_a = float(psnr(img, np.asarray(out_a)))
+    p_b = float(psnr(img, np.asarray(out_b)))
+    assert p_b > p_a - 3.0, (p_b, p_a)
