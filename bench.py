@@ -43,13 +43,17 @@ def main():
 
     # warmup / compile
     res = encode_plane(plane, cfg)
-    res.domain_idx.block_until_ready()
+    np.asarray(res.domain_idx)
 
+    # NOTE: timing pulls a result array to host — on remote-attached devices
+    # block_until_ready can return before execution finishes, so a transfer
+    # is the only honest completion barrier.
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         res = encode_plane(plane, cfg)
-        res.domain_idx.block_until_ready()
+        np.asarray(res.domain_idx)
+        np.asarray(res.s)
         times.append(time.perf_counter() - t0)
     encode_s = min(times)
 

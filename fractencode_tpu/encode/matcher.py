@@ -107,8 +107,17 @@ def _pair_scores(ranges, sum_a, sum_a2, cb: Codebook, cfg: EncoderConfig):
     if cfg.criterion == "raw":
         domain_area = float(cb.grid.block_size * cb.grid.block_size)
         dist = (sa2 - 2.0 * sum_ab + sb2) / domain_area
+    elif cfg.so_mode == "ls":
+        # Residual after the stored affine map.  For 'ls' the offset is the
+        # centred optimum, so use the centred-moments identity — the same
+        # expression (and f32 rounding) as the Pallas kernel epilogue.
+        var_a = n * sa2 - sa * sa
+        var_b = n * sb2 - sb * sb
+        cov = n * sum_ab - sa * sb
+        e = (var_a - 2.0 * s * cov + (s * s) * var_b) * (1.0 / n)
+        dist = jnp.maximum(e, 0.0) / n
     else:
-        # Residual after the affine map actually stored: |A - s*B - o|^2 / N.
+        # general residual |A - s*B - o|^2 / N with the mode's (s, o)
         e = (
             sa2
             + s * s * sb2
@@ -211,9 +220,9 @@ def search_pallas(
     sum_a2_p = jnp.pad(sum_a2, (0, rp - r))
     rcls_p = jnp.pad(rcls, (0, rp - r), constant_values=-3)
     cb_cols_p = jnp.pad(cb_cols, ((0, mp - m), (0, 0)))
-    # padded columns must never win: give them +inf-like energy
+    # padded tail is masked by column index inside the kernel (m_valid)
     sb_p = jnp.pad(sb, (0, mp - m))
-    sb2_p = jnp.pad(sb2, (0, mp - m), constant_values=_BIG)
+    sb2_p = jnp.pad(sb2, (0, mp - m))
     col_cls_p = jnp.pad(col_cls, (0, mp - m), constant_values=-4)
 
     dist, win_m = fused_search(
@@ -227,6 +236,7 @@ def search_pallas(
             else 1.0 / k
         ),
         use_classes=use_classes,
+        m_valid=m,
         block_r=block_r,
         block_m=block_m,
         interpret=interpret,

@@ -59,6 +59,7 @@ def _search_kernel(
     inv_norm: float,
     k: int,
     use_classes: bool,
+    m_valid: int,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -88,24 +89,48 @@ def _search_kernel(
     if criterion == "raw":
         dist = (sa2 - 2.0 * ab + sb2) * inv_norm
     else:
-        if so_mode == "reference":
-            den = n * sa2 - (sa - 1.0) * sa
+        # Keep the number of live [BR, BM] f32 temporaries minimal — they are
+        # what drives the kernel's scoped-VMEM footprint.  Using the centred
+        # moments: with o chosen as each mode does, the residual reduces to
+        #   E = (varA - 2*s'*covAB + s'^2*varB) / N      (s' = applied slope)
+        # where varA = N*SumA2-SumA^2 ([BR,1]), varB likewise ([1,BM]) and
+        # covAB = N*SumAB - SumA*SumB (one [BR, BM] array, reusing ab's slot).
+        var_a = n * sa2 - sa * sa  # [BR, 1]
+        var_b = n * sb2 - sb * sb  # [1, BM]
+        cov = n * ab - sa * sb  # [BR, BM]
+        if so_mode == "ls":
+            # o = (SumA - s*SumB)/N is the centred optimal offset, so the
+            # residual collapses to the centred-moments identity:
+            #   Sum resid^2 = (varA - 2*s*cov + s^2*varB) / N
+            s = jnp.where(jnp.abs(var_b) < 1e-5, 0.0,
+                          cov / jnp.where(var_b == 0.0, 1.0, var_b))
+            if s_max > 0.0:
+                s = jnp.clip(s, -s_max, s_max)
+            e = (var_a - 2.0 * s * cov + (s * s) * var_b) * (1.0 / n)
+            dist = jnp.maximum(e, 0.0) * inv_norm
         else:
-            den = n * sb2 - sb * sb
-        num = n * ab - sa * sb
-        s = jnp.where(jnp.abs(den) < 1e-5, 0.0, num / jnp.where(den == 0.0, 1.0, den))
-        if s_max > 0.0:
-            s = jnp.clip(s, -s_max, s_max)
-        if so_mode == "reference":
-            o = (sb - s * sa) / n
-        else:
-            o = (sa - s * sb) / n
-        e = sa2 + s * s * sb2 + n * o * o + 2.0 * s * o * sb - 2.0 * s * ab - 2.0 * o * sa
-        dist = jnp.maximum(e, 0.0) * inv_norm
+            # reference (s, o) are not the centred optimum, so score the
+            # general residual of the map actually stored (matches the jnp
+            # oracle bit-for-bit).
+            den = n * sa2 - (sa - 1.0) * sa  # [BR, 1]
+            num = n * ab - sa * sb
+            s = jnp.where(jnp.abs(den) < 1e-5, 0.0,
+                          num / jnp.where(den == 0.0, 1.0, den))
+            if s_max > 0.0:
+                s = jnp.clip(s, -s_max, s_max)
+            o = (sb - s * sa) * (1.0 / n)
+            e = (sa2 + (s * s) * sb2 + n * o * o + 2.0 * s * o * sb
+                 - 2.0 * s * ab - 2.0 * o * sa)
+            dist = jnp.maximum(e, 0.0) * inv_norm
 
     if use_classes:
         mask = rcls_ref[:] == ccls_ref[:]  # [BR, BM] via broadcast
         dist = jnp.where(mask, dist, _BIG)
+
+    # mask padded codebook columns (static tail; their zero vectors would
+    # otherwise produce NaN/spurious scores in the affine epilogue)
+    col = j * bm + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
+    dist = jnp.where(col < m_valid, dist, _BIG)
 
     # tile-local argmin (first occurrence = lowest column index)
     tile_min = jnp.min(dist, axis=1, keepdims=True)  # [BR, 1]
@@ -125,7 +150,7 @@ def _search_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("criterion", "so_mode", "s_max", "inv_norm", "use_classes",
-                     "block_r", "block_m", "interpret"),
+                     "m_valid", "block_r", "block_m", "interpret"),
 )
 def fused_search(
     ranges,  # [R, K] f32
@@ -142,6 +167,7 @@ def fused_search(
     s_max: float,
     inv_norm: float,
     use_classes: bool,
+    m_valid: int | None = None,
     block_r: int = DEFAULT_BR,
     block_m: int = DEFAULT_BM,
     interpret: bool = False,
@@ -149,7 +175,8 @@ def fused_search(
     """Returns (best_dist [R] f32, best_idx [R] i32 into the M axis).
 
     R must be a multiple of block_r and M a multiple of block_m (the encoder
-    pads; padded codebook columns carry +inf-like sums so they never win).
+    zero-pads; ``m_valid`` marks the real column count so the padded tail is
+    masked inside the kernel).
     """
     r, k = ranges.shape
     m = codebook.shape[0]
@@ -165,11 +192,21 @@ def fused_search(
         inv_norm=inv_norm,
         k=k,
         use_classes=use_classes,
+        m_valid=m if m_valid is None else m_valid,
     )
 
+    # VMEM budget: the epilogue keeps a handful of [block_r, block_m] f32
+    # arrays live; give the compiler explicit headroom so large grids don't
+    # trip the default 16M scoped limit.
+    vmem_bytes = min(
+        96 * 1024 * 1024,
+        (6 * block_r * block_m + 4 * block_m * k + 2 * block_r * k) * 4
+        + 4 * 1024 * 1024,
+    )
     dist, idx = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         in_specs=[
             pl.BlockSpec((block_r, k), lambda i, j: (i, 0)),
             pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
