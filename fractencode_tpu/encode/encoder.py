@@ -22,7 +22,7 @@ from ..core.grid import Grid, uniform_grid
 from ..core.stats import integral_image
 from ..params import EncoderConfig
 from .codebook import build_codebook, extract_ranges
-from .matcher import search, search_pallas
+from .matcher import search, search_pallas, search_pallas_classed
 
 __all__ = ["EncodeResult", "encode_plane", "encode_stats"]
 
@@ -100,10 +100,17 @@ def _encode_plane_impl(plane: jnp.ndarray, cfg: EncoderConfig) -> EncodeResult:
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if backend == "pallas":
         interpret = jax.default_backend() != "tpu"
-        res = search_pallas(
-            ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg,
-            interpret=interpret,
-        )
+        if cfg.use_classifier and range_classes is not None:
+            # class-blocked kernel: the prune becomes a real FLOP saving
+            res = search_pallas_classed(
+                ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg,
+                interpret=interpret,
+            )
+        else:
+            res = search_pallas(
+                ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg,
+                interpret=interpret,
+            )
     else:
         res = search(ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg)
     return EncodeResult(

@@ -172,6 +172,145 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+_NUM_CLASS_BINS = 7  # classifier bins -1..5 shifted to 0..6; 7 = padding
+
+
+def _class_layout(classes01: jnp.ndarray, block: int):
+    """Tile-aligned class-sorted layout for ``n`` items in classes 0..6.
+
+    Returns (pos [n] i32 destination of each item in the padded buffer,
+    seg_start [8] i32 first padded index of each class, counts [8] i32,
+    tile_boundaries [7] i32 cumulative tile counts — tile t belongs to class
+    searchsorted(boundaries, t, 'right')).
+
+    All shapes static: the padded buffer has ``n_pad`` slots
+    (= round_up(n, block) + 7*block covers the worst per-class alignment
+    waste).
+    """
+    n = classes01.shape[0]
+    counts = jnp.bincount(classes01, length=_NUM_CLASS_BINS)  # [7]
+    tiles = -(-counts // block)  # ceil
+    tile_cum = jnp.cumsum(tiles)  # [7]
+    seg_start_t = jnp.concatenate([jnp.zeros(1, tiles.dtype), tile_cum[:-1]])
+    seg_start = (seg_start_t * block).astype(jnp.int32)  # [7] element units
+    csum_before = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]])
+
+    order = jnp.argsort(classes01, stable=True)
+    sorted_cls = classes01[order]
+    rank_sorted = jnp.arange(n, dtype=jnp.int32) - csum_before[sorted_cls].astype(jnp.int32)
+    pos_sorted = seg_start[sorted_cls] + rank_sorted
+    pos = jnp.zeros(n, jnp.int32).at[order].set(pos_sorted)
+
+    seg_start8 = jnp.concatenate([seg_start, jnp.zeros(1, jnp.int32)])
+    counts8 = jnp.concatenate([counts.astype(jnp.int32), jnp.zeros(1, jnp.int32)])
+    return pos, seg_start8, counts8, tile_cum.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def search_pallas_classed(
+    ranges: jnp.ndarray,
+    sum_a: jnp.ndarray,
+    sum_a2: jnp.ndarray,
+    cb: Codebook,
+    range_classes: jnp.ndarray,
+    domain_classes: jnp.ndarray,
+    cfg: EncoderConfig,
+    interpret: bool = False,
+) -> SearchResult:
+    """Class-blocked Pallas backend: the classifier's equality prune becomes
+    a real FLOP reduction.  Ranges and codebook columns are laid out sorted
+    by class bin into tile-aligned segments, and each range tile's grid walk
+    visits only its own class's column tiles (``fused_search_classed``).
+
+    Selection semantics are identical to ``search_pallas`` with a classifier:
+    only same-bin pairs compete, reference tie-break order preserved (column
+    order within a class stays (domain asc, transform desc) because the
+    class sort is stable).
+    """
+    from ..ops.matcher_pallas import (
+        DEFAULT_BM,
+        DEFAULT_BR,
+        fused_search_classed,
+    )
+
+    r, k = ranges.shape
+    d, t, _ = cb.values.shape
+    m = d * t
+
+    block_r = min(DEFAULT_BR, _round_up(r, 8))
+    block_m = min(DEFAULT_BM, _round_up(m, 128))
+    r_pad = _round_up(r, block_r) + _NUM_CLASS_BINS * block_r
+    m_pad = _round_up(m, block_m) + _NUM_CLASS_BINS * block_m
+
+    rcls01 = (range_classes + 1).astype(jnp.int32)  # bins -1..5 -> 0..6
+    ccls01 = jnp.repeat((domain_classes + 1).astype(jnp.int32), t)
+
+    # search-order columns: m = d*T + (T-1-t)
+    cb_cols = cb.values[:, ::-1, :].reshape(m, k)
+    sb = cb.sum[:, ::-1].reshape(m)
+    sb2 = cb.sum_sq[:, ::-1].reshape(m)
+
+    rpos, _, _, r_tile_cum = _class_layout(rcls01, block_r)
+    cpos, c_seg_start, c_counts, _ = _class_layout(ccls01, block_m)
+
+    ranges_s = jnp.zeros((r_pad, k), jnp.float32).at[rpos].set(ranges)
+    sa_s = jnp.zeros((r_pad,), jnp.float32).at[rpos].set(sum_a)
+    sa2_s = jnp.zeros((r_pad,), jnp.float32).at[rpos].set(sum_a2)
+    cb_s = jnp.zeros((m_pad, k), jnp.float32).at[cpos].set(cb_cols)
+    sb_s = jnp.zeros((m_pad,), jnp.float32).at[cpos].set(sb)
+    sb2_s = jnp.zeros((m_pad,), jnp.float32).at[cpos].set(sb2)
+    inv_col = jnp.zeros((m_pad,), jnp.int32).at[cpos].set(
+        jnp.arange(m, dtype=jnp.int32)
+    )
+
+    # per-range-tile class (tiles beyond the last class are padding -> 7)
+    nrt = r_pad // block_r
+    tile_ids = jnp.arange(nrt, dtype=jnp.int32)
+    tile_class = jnp.searchsorted(r_tile_cum, tile_ids, side="right").astype(jnp.int32)
+
+    col_tile_start = c_seg_start // block_m  # [8]
+    col_tile_count = -(-c_counts // block_m)  # [8] ceil
+    col_end = c_seg_start + c_counts  # [8] first invalid sorted index
+
+    dist_s, idx_s = fused_search_classed(
+        ranges_s, sa_s, sa2_s, cb_s, sb_s, sb2_s,
+        tile_class, col_tile_start, col_tile_count, col_end,
+        criterion=cfg.criterion,
+        so_mode=cfg.so_mode,
+        s_max=cfg.s_max,
+        inv_norm=(
+            1.0 / (cb.grid.block_size ** 2)
+            if cfg.criterion == "raw"
+            else 1.0 / k
+        ),
+        block_r=block_r,
+        block_m=block_m,
+        interpret=interpret,
+    )
+
+    dist = dist_s[rpos]  # [R]
+    win_sorted = idx_s[rpos]
+    valid = dist < _BIG
+    win_m = jnp.where(valid, inv_col[jnp.clip(win_sorted, 0, m_pad - 1)], 0)
+    win_d = win_m // t
+    win_t = (t - 1) - (win_m % t)
+
+    win_rows = cb_cols[win_m]
+    sum_ab = (ranges * win_rows).sum(axis=-1)
+    s, o = solve_so(sum_a, sum_a2, sb[win_m], sb2[win_m], sum_ab, float(k),
+                    cfg.so_mode, cfg.s_max)
+    s = jnp.where(valid, s, 0.0)
+    o = jnp.where(valid, o, 0.0)
+    return SearchResult(
+        domain_idx=win_d.astype(jnp.int32),
+        transform=win_t.astype(jnp.int32),
+        distance=dist,
+        s=s,
+        o=o,
+        valid=valid,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def search_pallas(
     ranges: jnp.ndarray,

@@ -86,42 +86,11 @@ def _search_kernel(
     sb2 = sb2_ref[:]  # [1, BM]
     n = float(k)
 
-    if criterion == "raw":
-        dist = (sa2 - 2.0 * ab + sb2) * inv_norm
-    else:
-        # Keep the number of live [BR, BM] f32 temporaries minimal — they are
-        # what drives the kernel's scoped-VMEM footprint.  Using the centred
-        # moments: with o chosen as each mode does, the residual reduces to
-        #   E = (varA - 2*s'*covAB + s'^2*varB) / N      (s' = applied slope)
-        # where varA = N*SumA2-SumA^2 ([BR,1]), varB likewise ([1,BM]) and
-        # covAB = N*SumAB - SumA*SumB (one [BR, BM] array, reusing ab's slot).
-        var_a = n * sa2 - sa * sa  # [BR, 1]
-        var_b = n * sb2 - sb * sb  # [1, BM]
-        cov = n * ab - sa * sb  # [BR, BM]
-        if so_mode == "ls":
-            # o = (SumA - s*SumB)/N is the centred optimal offset, so the
-            # residual collapses to the centred-moments identity:
-            #   Sum resid^2 = (varA - 2*s*cov + s^2*varB) / N
-            s = jnp.where(jnp.abs(var_b) < 1e-5, 0.0,
-                          cov / jnp.where(var_b == 0.0, 1.0, var_b))
-            if s_max > 0.0:
-                s = jnp.clip(s, -s_max, s_max)
-            e = (var_a - 2.0 * s * cov + (s * s) * var_b) * (1.0 / n)
-            dist = jnp.maximum(e, 0.0) * inv_norm
-        else:
-            # reference (s, o) are not the centred optimum, so score the
-            # general residual of the map actually stored (matches the jnp
-            # oracle bit-for-bit).
-            den = n * sa2 - (sa - 1.0) * sa  # [BR, 1]
-            num = n * ab - sa * sb
-            s = jnp.where(jnp.abs(den) < 1e-5, 0.0,
-                          num / jnp.where(den == 0.0, 1.0, den))
-            if s_max > 0.0:
-                s = jnp.clip(s, -s_max, s_max)
-            o = (sb - s * sa) * (1.0 / n)
-            e = (sa2 + (s * s) * sb2 + n * o * o + 2.0 * s * o * sb
-                 - 2.0 * s * ab - 2.0 * o * sa)
-            dist = jnp.maximum(e, 0.0) * inv_norm
+    # Keep the number of live [BR, BM] f32 temporaries minimal — they drive
+    # the kernel's scoped-VMEM footprint (see _score_tile: centred-moments
+    # identity for the 'ls' offset, general residual otherwise).
+    dist = _score_tile(ab, sa, sa2, sb, sb2, criterion=criterion,
+                       so_mode=so_mode, s_max=s_max, inv_norm=inv_norm, n=n)
 
     if use_classes:
         mask = rcls_ref[:] == ccls_ref[:]  # [BR, BM] via broadcast
@@ -145,6 +114,202 @@ def _search_kernel(
     def _finalize():
         dist_out[:] = best_dist[:]
         idx_out[:] = best_idx[:]
+
+
+def _score_tile(ab, sa, sa2, sb, sb2, *, criterion, so_mode, s_max, inv_norm, n):
+    """Shared VPU epilogue: pair scores from the five sums (see kernel doc)."""
+    if criterion == "raw":
+        return (sa2 - 2.0 * ab + sb2) * inv_norm
+    var_a = n * sa2 - sa * sa
+    var_b = n * sb2 - sb * sb
+    cov = n * ab - sa * sb
+    if so_mode == "ls":
+        s = jnp.where(jnp.abs(var_b) < 1e-5, 0.0,
+                      cov / jnp.where(var_b == 0.0, 1.0, var_b))
+        if s_max > 0.0:
+            s = jnp.clip(s, -s_max, s_max)
+        e = (var_a - 2.0 * s * cov + (s * s) * var_b) * (1.0 / n)
+        return jnp.maximum(e, 0.0) * inv_norm
+    den = n * sa2 - (sa - 1.0) * sa
+    num = n * ab - sa * sb
+    s = jnp.where(jnp.abs(den) < 1e-5, 0.0,
+                  num / jnp.where(den == 0.0, 1.0, den))
+    if s_max > 0.0:
+        s = jnp.clip(s, -s_max, s_max)
+    o = (sb - s * sa) * (1.0 / n)
+    e = (sa2 + (s * s) * sb2 + n * o * o + 2.0 * s * o * sb
+         - 2.0 * s * ab - 2.0 * o * sa)
+    return jnp.maximum(e, 0.0) * inv_norm
+
+
+def _classed_kernel(
+    # scalar prefetch
+    tile_class_ref,  # [NRT] i32 — class of each range tile
+    col_tile_start_ref,  # [NC] i32 — first column tile of each class
+    col_tile_count_ref,  # [NC] i32 — number of column tiles of each class
+    col_end_ref,  # [NC] i32 — first invalid sorted-column index per class
+    # tensors
+    a_ref, sa_ref, sa2_ref,  # [BR, K], [BR, 1], [BR, 1]
+    c_ref, sb_ref, sb2_ref,  # [BM, K], [1, BM], [1, BM]
+    dist_out, idx_out,  # [BR, 1]
+    best_dist, best_idx,  # VMEM scratch [BR, 1]
+    *,
+    bm: int,
+    criterion: str,
+    so_mode: str,
+    s_max: float,
+    inv_norm: float,
+    k: int,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_dist[:] = jnp.full_like(best_dist, _BIG)
+        best_idx[:] = jnp.zeros_like(best_idx)
+
+    cls = tile_class_ref[i]
+    active = j < col_tile_count_ref[cls]
+
+    @pl.when(active)
+    def _compute():
+        ab = jax.lax.dot_general(
+            a_ref[:], c_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dist = _score_tile(
+            ab, sa_ref[:], sa2_ref[:], sb_ref[:], sb2_ref[:],
+            criterion=criterion, so_mode=so_mode, s_max=s_max,
+            inv_norm=inv_norm, n=float(k),
+        )
+        col0 = (col_tile_start_ref[cls] + j) * bm
+        col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
+        dist = jnp.where(col < col_end_ref[cls], dist, _BIG)
+
+        tile_min = jnp.min(dist, axis=1, keepdims=True)
+        tile_arg = jnp.argmin(dist, axis=1).reshape(-1, 1).astype(jnp.int32) + col0
+        improved = tile_min < best_dist[:]
+        best_idx[:] = jnp.where(improved, tile_arg, best_idx[:])
+        best_dist[:] = jnp.where(improved, tile_min, best_dist[:])
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        dist_out[:] = best_dist[:]
+        idx_out[:] = best_idx[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("criterion", "so_mode", "s_max", "inv_norm",
+                     "block_r", "block_m", "interpret"),
+)
+def fused_search_classed(
+    ranges_sorted,  # [R_pad, K] f32 — class-sorted, tile-aligned
+    sum_a_sorted,  # [R_pad]
+    sum_a2_sorted,  # [R_pad]
+    cb_sorted,  # [M_pad, K] f32 — class-sorted, tile-aligned columns
+    sb_sorted,  # [M_pad]
+    sb2_sorted,  # [M_pad]
+    tile_class,  # [NRT] i32
+    col_tile_start,  # [NC] i32 (in units of column tiles)
+    col_tile_count,  # [NC] i32
+    col_end,  # [NC] i32 (in sorted-column units)
+    *,
+    criterion: str,
+    so_mode: str,
+    s_max: float,
+    inv_norm: float,
+    block_r: int = DEFAULT_BR,
+    block_m: int = DEFAULT_BM,
+    interpret: bool = False,
+):
+    """Class-blocked search: each range tile only visits its class's column
+    segment.  The grid is sized for the worst case but off-class tiles are
+    predicated away (`pl.when`), so the matmul/epilogue cost is proportional
+    to the classifier's surviving pair count (~1/6 with the 6-class
+    brightness classifier) instead of the full cross product.
+
+    Returns (best_dist [R_pad], best_idx [R_pad] in sorted-column units).
+    """
+    r_pad, k = ranges_sorted.shape
+    m_pad = cb_sorted.shape[0]
+    assert r_pad % block_r == 0 and m_pad % block_m == 0
+    nrt = r_pad // block_r
+    max_tiles = m_pad // block_m
+    grid = (nrt, max_tiles)
+
+    kernel = functools.partial(
+        _classed_kernel,
+        bm=block_m,
+        criterion=criterion,
+        so_mode=so_mode,
+        s_max=s_max,
+        inv_norm=inv_norm,
+        k=k,
+    )
+
+    def col_index(i, j, tile_class, col_tile_start, col_tile_count, col_end):
+        cls = tile_class[i]
+        # clamp skipped iterations onto the class's last real tile so the
+        # pipeline re-fetches the same block (no extra DMA) instead of
+        # streaming unused codebook tiles
+        jj = jnp.minimum(j, jnp.maximum(col_tile_count[cls] - 1, 0))
+        return col_tile_start[cls] + jj
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_r, k), lambda i, j, *s: (i, 0)),
+            pl.BlockSpec((block_r, 1), lambda i, j, *s: (i, 0)),
+            pl.BlockSpec((block_r, 1), lambda i, j, *s: (i, 0)),
+            pl.BlockSpec((block_m, k),
+                         lambda i, j, *s: (col_index(i, j, *s), 0)),
+            pl.BlockSpec((1, block_m),
+                         lambda i, j, *s: (0, col_index(i, j, *s))),
+            pl.BlockSpec((1, block_m),
+                         lambda i, j, *s: (0, col_index(i, j, *s))),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_r, 1), lambda i, j, *s: (i, 0)),
+            pl.BlockSpec((block_r, 1), lambda i, j, *s: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_r, 1), jnp.float32),
+            pltpu.VMEM((block_r, 1), jnp.int32),
+        ],
+    )
+
+    vmem_bytes = min(
+        96 * 1024 * 1024,
+        (6 * block_r * block_m + 4 * block_m * k + 2 * block_r * k) * 4
+        + 4 * 1024 * 1024,
+    )
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(
+        tile_class.astype(jnp.int32),
+        col_tile_start.astype(jnp.int32),
+        col_tile_count.astype(jnp.int32),
+        col_end.astype(jnp.int32),
+        ranges_sorted,
+        sum_a_sorted.reshape(-1, 1),
+        sum_a2_sorted.reshape(-1, 1),
+        cb_sorted,
+        sb_sorted.reshape(1, -1),
+        sb2_sorted.reshape(1, -1),
+    )
+    return dist.reshape(-1), idx.reshape(-1)
 
 
 @functools.partial(

@@ -67,3 +67,59 @@ def test_pallas_backend_end_to_end(rng):
     np.testing.assert_array_equal(
         np.asarray(res_pl.transform), np.asarray(res_jnp.transform)
     )
+
+@pytest.mark.parametrize("cfg", [
+    EncoderConfig(),
+    EncoderConfig(criterion="raw", so_mode="reference"),
+    EncoderConfig(num_transforms=8),
+])
+def test_classed_kernel_matches_oracle(rng, cfg):
+    """Class-blocked kernel == masked oracle, winner for winner."""
+    from fractencode_tpu.encode.matcher import search_pallas_classed
+
+    args = _setup(rng, 64, cfg)
+    ranges, sum_a, sum_a2, cb, rcls, dcls = args
+    oracle = search(*args, cfg)
+    kernel = search_pallas_classed(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
+                                   interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(kernel.valid), np.asarray(oracle.valid)
+    )
+    v = np.asarray(oracle.valid)
+    np.testing.assert_array_equal(
+        np.asarray(kernel.domain_idx)[v], np.asarray(oracle.domain_idx)[v]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kernel.transform)[v], np.asarray(oracle.transform)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(kernel.distance)[v], np.asarray(oracle.distance)[v], rtol=1e-6
+    )
+
+
+def test_classed_kernel_lenna(lenna_y):
+    """Real-image class distribution (including -1 ties) on a Lenna crop."""
+    from fractencode_tpu.encode.matcher import search_pallas_classed
+
+    cfg = EncoderConfig()
+    img = np.asarray(lenna_y)[:64, :64]
+    plane = jnp.asarray(img, jnp.float32)
+    dg = uniform_grid(64, 64, cfg.source_size, cfg.domain_step)
+    cb = build_codebook(plane, dg, cfg.target_size, cfg.num_transforms)
+    ranges = extract_ranges(plane, cfg.target_size)
+    sum_a = ranges.sum(axis=-1)
+    sum_a2 = (ranges * ranges).sum(axis=-1)
+    from fractencode_tpu.core.classify import classify_grid
+
+    rg = uniform_grid(64, 64, cfg.target_size, cfg.target_size)
+    rcls = classify_grid(jnp.asarray(img), rg)
+    dcls = classify_grid(jnp.asarray(img), dg)
+    oracle = search(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg)
+    kernel = search_pallas_classed(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
+                                   interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(kernel.domain_idx), np.asarray(oracle.domain_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kernel.transform), np.asarray(oracle.transform)
+    )
