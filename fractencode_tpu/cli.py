@@ -115,6 +115,19 @@ def _encode_one(plane, args, cfg, dcfg, label=""):
     t1 = time.perf_counter()
     print(f"encoded{label} in {t1 - t0:.4g} s.")
     print(f"{res.num_ranges} elements.")
+    if cfg.use_classifier:
+        # classifier rejection statistics (cf. encode_stats_t::print,
+        # Encoder2.hpp:21-23)
+        from .core.classify import classify_grid
+
+        rcls = np.asarray(classify_grid(plane, res.range_grid))
+        dcls = np.asarray(classify_grid(plane, res.domain_grid))
+        total = len(rcls) * len(dcls)
+        rejected = int((rcls[:, None] != dcls[None, :]).sum())
+        print(
+            f"classifier rejected {rejected} out of {total} comparisons "
+            f"({100.0 * rejected / total:.4g})%"
+        )
 
     if args.debug_decode:
         from .image import save_plane

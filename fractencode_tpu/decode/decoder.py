@@ -39,22 +39,88 @@ def _global_tap_tables(source_size: int, target_size: int, stride: int) -> np.nd
     return (my.astype(np.int64) * stride + mx).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _half_res_taps(source_size: int, target_size: int, width: int):
+    """Half-resolution single-tap tables, or None if the geometry doesn't
+    qualify.
+
+    The 4 taps of every sample are the isometry image of an axis-aligned
+    2x2 cell; when the cell's min corner is always even (true when the
+    source size and all sample coordinates are even), the 4-tap average
+    equals one pixel of the 2x2-box-downsampled image.  One gather instead
+    of four — the decoder's hot loop is gather-bound.
+
+    Returns [NUM_TRANSFORMS, K] flat indices into the [H/2, W/2] half image
+    for a domain anchored at flat half-image origin 0.
+    """
+    sw = source_size
+    if sw % 2:
+        return None
+    local = all_tap_tables(sw, target_size)  # [T, K, 4] block-flat
+    my, mx = np.divmod(local, sw)
+    my0 = my.min(axis=2)
+    mx0 = mx.min(axis=2)
+    # qualify: the 4 taps of each sample must be exactly the 2x2 cell at the
+    # (even) min corner
+    cell_ok = (
+        (my.max(axis=2) == my0 + 1)
+        & (mx.max(axis=2) == mx0 + 1)
+        & (my0 % 2 == 0)
+        & (mx0 % 2 == 0)
+    )
+    if not cell_ok.all():
+        return None
+    return ((my0 // 2).astype(np.int64) * (width // 2) + mx0 // 2).astype(np.int32)
+
+
+def build_decode_tables(domain_idx, transform, width, source_size, target_size,
+                        domain_step):
+    """Gather tables for one map-set application.
+
+    Returns ("half", [R, K] indices into the half-res image) when the
+    geometry qualifies (see ``_half_res_taps``), else
+    ("full", [R, K, 4] indices into the full image).
+    """
+    nx = (width - source_size) // domain_step + 1
+    ox = (domain_idx % nx) * domain_step
+    oy = (domain_idx // nx) * domain_step
+
+    half = _half_res_taps(source_size, target_size, width)
+    if half is not None and domain_step % 2 == 0:
+        origin_half = (oy.astype(jnp.int32) // 2) * (width // 2) + ox.astype(jnp.int32) // 2
+        return "half", origin_half[:, None] + jnp.asarray(half)[transform]
+
+    taps = jnp.asarray(_global_tap_tables(source_size, target_size, width))
+    origin_flat = oy.astype(jnp.int32) * width + ox.astype(jnp.int32)
+    return "full", origin_flat[:, None, None] + taps[transform]
+
+
 def _build_indices(result: EncodeResult):
-    """[R, K, 4] i32 flat gather indices into the image for one decode step."""
-    w = result.width
-    taps = jnp.asarray(
-        _global_tap_tables(result.source_size, result.target_size, w)
-    )  # [8, K, 4]
-    ox, oy = result.domain_origins()
-    origin_flat = oy.astype(jnp.int32) * w + ox.astype(jnp.int32)  # [R]
-    taps_r = taps[result.transform]  # [R, K, 4]
-    return origin_flat[:, None, None] + taps_r
+    return build_decode_tables(
+        result.domain_idx, result.transform, result.width,
+        result.source_size, result.target_size, result.domain_step,
+    )
 
 
-def _decode_step(img_u8, idx, s, o, height, width, target_size, o_is_mean=False):
-    """One application of the full map set: u8 image -> u8 image."""
+def half_res_image(img_u8: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] u8 -> [H/2, W/2] f32 2x2 box averages (multiples of 0.25)."""
+    h, w = img_u8.shape
+    x = img_u8.astype(jnp.float32).reshape(h // 2, 2, w // 2, 2)
+    return x.sum(axis=(1, 3)) * 0.25
+
+
+def sample_domains(img_u8, tables):
+    """[R, K] f32 sampled (2x2-averaged) domain pixels for every range."""
+    kind, idx = tables
+    if kind == "half":
+        return half_res_image(img_u8).reshape(-1)[idx]
     flat = img_u8.astype(jnp.float32).reshape(-1)
-    samp = flat[idx].sum(axis=-1) * 0.25  # [R, K]
+    return flat[idx].sum(axis=-1) * 0.25
+
+
+def _decode_step(img_u8, tables, s, o, height, width, target_size, o_is_mean=False):
+    """One application of the full map set: u8 image -> u8 image."""
+    samp = sample_domains(img_u8, tables)  # [R, K]
     if o_is_mean:
         samp = samp - samp.mean(axis=-1, keepdims=True)
     out = s[:, None] * samp + o[:, None]

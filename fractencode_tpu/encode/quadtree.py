@@ -214,22 +214,19 @@ def encode_plane_quadtree(plane, cfg: EncoderConfig | None = None,
 
 
 def _level_tables(level: QuadtreeLevel, width: int):
-    from ..decode.decoder import _global_tap_tables
+    from ..decode.decoder import build_decode_tables
 
-    taps = jnp.asarray(
-        _global_tap_tables(level.domain_size, level.range_size, width)
+    return build_decode_tables(
+        level.domain_idx, level.transform, width,
+        level.domain_size, level.range_size, level.domain_step,
     )
-    nx = (width - level.domain_size) // level.domain_step + 1
-    ox = (level.domain_idx % nx) * level.domain_step
-    oy = (level.domain_idx // nx) * level.domain_step
-    origin_flat = oy.astype(jnp.int32) * width + ox.astype(jnp.int32)
-    return origin_flat[:, None, None] + taps[level.transform]  # [R, K, 4]
 
 
-def _level_step(img_u8, idx, s, o, height, width, range_size):
+def _level_step(img_u8, tables, s, o, height, width, range_size):
     """Full-level decode image (same math as the uniform decoder)."""
-    flat = img_u8.astype(jnp.float32).reshape(-1)
-    samp = flat[idx].sum(axis=-1) * 0.25
+    from ..decode.decoder import sample_domains
+
+    samp = sample_domains(img_u8, tables)
     out = s[:, None] * samp + o[:, None]
     out = jnp.floor(jnp.clip(out, 0.0, 255.0))
     ny = height // range_size

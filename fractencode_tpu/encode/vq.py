@@ -42,23 +42,35 @@ def assign_codes(x: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(_pairwise_sq_dists(x, codebook), axis=1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("num_codes", "max_steps"))
+@functools.partial(jax.jit, static_argnames=("num_codes", "max_steps",
+                                              "sample_limit"))
 def train_codebook(
     x: jnp.ndarray,
     key: jax.Array,
     num_codes: int,
     max_steps: int = 200,
     epsilon: float = 1e-3,
+    sample_limit: int | None = None,
 ):
     """Train an LBG codebook over [N, D] vectors.
 
     Returns (codebook [num_codes, D] f32, assignments [N] i32, steps i32).
     Seeding draws ``num_codes`` distinct input vectors (the reference's
     ``UniqueIndexGenerator`` random unique seeding,
-    ``CodebookGenerator.hpp:10-38``).
+    ``CodebookGenerator.hpp:10-38``).  ``sample_limit`` trains on a random
+    subsample (the reference's ``LimitRange`` cluster-selection policy,
+    ``CodebookGenerator.hpp:40-82``); assignments are still returned for the
+    full input.
     """
-    n, d = x.shape
-    x = x.astype(jnp.float32)
+    n_full, d = x.shape
+    x_full = x.astype(jnp.float32)
+    if sample_limit is not None and sample_limit < n_full:
+        key, sub = jax.random.split(key)
+        idx = jax.random.choice(sub, n_full, shape=(sample_limit,), replace=False)
+        x = x_full[idx]
+    else:
+        x = x_full
+    n = x.shape[0]
     seed_idx = jax.random.choice(key, n, shape=(num_codes,), replace=False)
     init = x[seed_idx]
 
@@ -83,6 +95,6 @@ def train_codebook(
     codebook, assign, steps, _ = jax.lax.while_loop(
         cond, body, (init, jnp.zeros(n, jnp.int32), jnp.int32(0), jnp.bool_(False))
     )
-    # final assignment against the converged codebook
-    assign = assign_codes(x, codebook)
+    # final assignment of the FULL input against the converged codebook
+    assign = assign_codes(x_full, codebook)
     return codebook, assign, steps
