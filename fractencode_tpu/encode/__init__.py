@@ -1,6 +1,6 @@
 from .codebook import Codebook, build_codebook, extract_ranges
 from .matcher import SearchResult, search, solve_so
-from .encoder import EncodeResult, encode_plane, encode_stats
+from .encoder import EncodeResult, encode_plane, encode_batch, encode_stats
 
 __all__ = [
     "Codebook",

@@ -13,6 +13,7 @@ The per-range output arrays play the role of ``grid_encode_data_t``
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -139,6 +140,36 @@ def encode_plane(plane, cfg: EncoderConfig | None = None) -> EncodeResult:
     if h % cfg.target_size or w % cfg.target_size:
         raise ValueError("image not aligned to range grid")  # partition2.hpp:119
     return _encode_plane_jit(plane, cfg)
+
+
+def _encode_plane_arrays(plane: jnp.ndarray, cfg: EncoderConfig):
+    res = _encode_plane_impl(plane, cfg)
+    return (res.domain_idx, res.transform, res.s, res.o, res.distance, res.valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_batch_impl(planes: jnp.ndarray, cfg: EncoderConfig):
+    # lax.map: images stream through the (Pallas) search sequentially on the
+    # device — one dispatch for the whole batch, kernels stay busy back to
+    # back (single-chip throughput mode, BASELINE config 5's per-chip lane).
+    return jax.lax.map(lambda p: _encode_plane_arrays(p, cfg), planes)
+
+
+def encode_batch(planes, cfg: EncoderConfig | None = None) -> list[EncodeResult]:
+    """Encode a [B, H, W] u8 batch in one device program (frames/s mode)."""
+    cfg = cfg or EncoderConfig()
+    planes = jnp.asarray(planes, jnp.uint8)
+    b, h, w = planes.shape
+    dom, tr, s, o, dist, valid = _encode_batch_impl(planes, cfg)
+    return [
+        EncodeResult(
+            domain_idx=dom[i], transform=tr[i], s=s[i], o=o[i],
+            distance=dist[i], valid=valid[i],
+            width=w, height=h, source_size=cfg.source_size,
+            target_size=cfg.target_size, domain_step=cfg.domain_step,
+        )
+        for i in range(b)
+    ]
 
 
 def encode_stats(result: EncodeResult, range_classes=None, domain_classes=None):

@@ -101,3 +101,19 @@ def test_decode_steps_py_matches_jit():
     out, _, _ = decode_plane(res, DecoderConfig(max_iterations=20))
     # both end at the same fixed point (or same 20th iterate)
     assert np.array_equal(np.asarray(last), np.asarray(out))
+
+
+def test_encode_batch_matches_single(rng):
+    from fractencode_tpu.encode import encode_batch
+
+    cfg = EncoderConfig()
+    imgs = rng.integers(0, 256, size=(3, 64, 64), dtype=np.uint8)
+    batch = encode_batch(imgs, cfg)
+    for i in range(3):
+        single = encode_plane(imgs[i], cfg)
+        np.testing.assert_array_equal(
+            np.asarray(batch[i].domain_idx), np.asarray(single.domain_idx)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batch[i].transform), np.asarray(single.transform)
+        )
