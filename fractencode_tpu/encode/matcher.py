@@ -253,15 +253,24 @@ def search_pallas_classed(
     rpos, _, _, r_tile_cum = _class_layout(rcls01, block_r)
     cpos, c_seg_start, c_counts, _ = _class_layout(ccls01, block_m)
 
-    ranges_s = jnp.zeros((r_pad, k), jnp.float32).at[rpos].set(ranges)
-    sa_s = jnp.zeros((r_pad,), jnp.float32).at[rpos].set(sum_a)
-    sa2_s = jnp.zeros((r_pad,), jnp.float32).at[rpos].set(sum_a2)
-    cb_s = jnp.zeros((m_pad, k), jnp.float32).at[cpos].set(cb_cols)
-    sb_s = jnp.zeros((m_pad,), jnp.float32).at[cpos].set(sb)
-    sb2_s = jnp.zeros((m_pad,), jnp.float32).at[cpos].set(sb2)
-    inv_col = jnp.zeros((m_pad,), jnp.int32).at[cpos].set(
+    # Permute into the class-sorted layout with GATHERS (row scatters are
+    # much slower on TPU): first invert the position maps with small i32
+    # scatters, then gather rows.  Padding slots point at index n (a zero
+    # row appended to the source).
+    inv_r = jnp.full((r_pad,), r, jnp.int32).at[rpos].set(
+        jnp.arange(r, dtype=jnp.int32)
+    )
+    inv_col = jnp.full((m_pad,), m, jnp.int32).at[cpos].set(
         jnp.arange(m, dtype=jnp.int32)
     )
+    pad_row = jnp.zeros((1, k), jnp.float32)
+    pad_1 = jnp.zeros((1,), jnp.float32)
+    ranges_s = jnp.concatenate([ranges, pad_row])[inv_r]
+    sa_s = jnp.concatenate([sum_a, pad_1])[inv_r]
+    sa2_s = jnp.concatenate([sum_a2, pad_1])[inv_r]
+    cb_s = jnp.concatenate([cb_cols, pad_row])[inv_col]
+    sb_s = jnp.concatenate([sb, pad_1])[inv_col]
+    sb2_s = jnp.concatenate([sb2, pad_1])[inv_col]
 
     # per-range-tile class (tiles beyond the last class are padding -> 7)
     nrt = r_pad // block_r
@@ -292,6 +301,7 @@ def search_pallas_classed(
     win_sorted = idx_s[rpos]
     valid = dist < _BIG
     win_m = jnp.where(valid, inv_col[jnp.clip(win_sorted, 0, m_pad - 1)], 0)
+    win_m = jnp.clip(win_m, 0, m - 1)
     win_d = win_m // t
     win_t = (t - 1) - (win_m % t)
 

@@ -35,7 +35,7 @@ from ..core.grid import uniform_grid
 from ..core.stats import integral_image
 from ..encode.codebook import build_codebook, extract_ranges
 from ..encode.encoder import EncodeResult
-from ..encode.matcher import SearchResult, _BIG, search, solve_so
+from ..encode.matcher import SearchResult, _BIG, search
 from ..params import EncoderConfig
 from .mesh import DATA_AXIS, SEARCH_AXIS
 
