@@ -60,22 +60,40 @@ def build_codebook(
     """Sample all domain blocks under the first ``num_transforms`` isometries.
 
     ``plane_f32`` is the [H, W] image as f32 (exact u8 values).
+
+    Fast path: when the geometry is even-aligned (domain origins and sample
+    coordinates all even — true for the default and quadtree configs), every
+    4-tap average equals one pixel of the 2x2-box half image, so the whole
+    codebook is a single gather from the half image (1 tap per entry instead
+    of a block gather + 4 tap gathers).  Bit-exact with the general path.
     """
+    from ..decode.decoder import _half_res_taps
+
     h, w = plane_f32.shape
     sw = domain_grid.block_size
-    flat = plane_f32.reshape(-1)
 
-    origins = jnp.asarray(domain_grid.flat_origins(stride=w))  # [D]
-    block_pix = jnp.asarray(_block_pixel_offsets(sw, w))  # [sw*sw]
-    blocks = flat[origins[:, None] + block_pix[None, :]]  # [D, sw*sw]
+    half_taps = _half_res_taps(sw, target_size, w)
+    if half_taps is not None and domain_grid.step % 2 == 0:
+        ox, oy = domain_grid.origins()
+        origin_half = jnp.asarray(
+            ((oy.astype(np.int64) // 2) * (w // 2) + ox // 2).astype(np.int32)
+        )  # [D]
+        taps = jnp.asarray(half_taps[:num_transforms])  # [T, K]
+        half = plane_f32.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) * 0.25
+        values = half.reshape(-1)[origin_half[:, None, None] + taps[None]]
+    else:
+        flat = plane_f32.reshape(-1)
+        origins = jnp.asarray(domain_grid.flat_origins(stride=w))  # [D]
+        block_pix = jnp.asarray(_block_pixel_offsets(sw, w))  # [sw*sw]
+        blocks = flat[origins[:, None] + block_pix[None, :]]  # [D, sw*sw]
 
-    taps = all_tap_tables(sw, target_size)[:num_transforms]  # [T, K, 4]
-    # Accumulate the four taps separately to keep the peak intermediate at
-    # [D, T, K] instead of [D, T, K, 4].
-    acc = blocks[:, jnp.asarray(taps[:, :, 0])]
-    for j in range(1, 4):
-        acc = acc + blocks[:, jnp.asarray(taps[:, :, j])]
-    values = acc * 0.25  # [D, T, K]
+        taps = all_tap_tables(sw, target_size)[:num_transforms]  # [T, K, 4]
+        # Accumulate the four taps separately to keep the peak intermediate
+        # at [D, T, K] instead of [D, T, K, 4].
+        acc = blocks[:, jnp.asarray(taps[:, :, 0])]
+        for j in range(1, 4):
+            acc = acc + blocks[:, jnp.asarray(taps[:, :, j])]
+        values = acc * 0.25  # [D, T, K]
 
     return Codebook(
         values=values,
