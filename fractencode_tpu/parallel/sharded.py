@@ -360,9 +360,10 @@ def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
 
             # the carry must carry the same varying-axes as the loop body's
             # outputs (which vary over 'data' through dom1/s1/o1)
-            carry0 = jax.lax.pvary(
+            carry0 = jax.lax.pcast(
                 (init, jnp.int32(0), jnp.float32(jnp.inf), jnp.bool_(False)),
                 (DATA_AXIS,),
+                to="varying",
             )
             img, steps, mse, _ = jax.lax.while_loop(cond, step, carry0)
             return img, steps, mse
