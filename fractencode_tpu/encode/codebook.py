@@ -35,6 +35,19 @@ class Codebook:
     sum: jnp.ndarray  # [D, T] f32 — per-vector sums (SumB)
     sum_sq: jnp.ndarray  # [D, T] f32 — per-vector sums of squares (SumB2)
     grid: Grid = dataclasses.field(metadata=dict(static=True))  # domain grid
+    # [D, T] f32 guarded 1/var_b, or None (computed lazily).  var_b's
+    # cancellation makes its f32 rounding sensitive to compiler fusion
+    # choices, so it is computed ONCE here and shared by the jnp oracle and
+    # every kernel path — bit-identical ranking keys across backends.
+    inv_var: jnp.ndarray | None = None
+
+    def inv_var_or_compute(self) -> jnp.ndarray:
+        if self.inv_var is not None:
+            return self.inv_var
+        from ..ops.matcher_pallas import inv_var_b
+
+        k = self.values.shape[-1]
+        return inv_var_b(self.sum, self.sum_sq, float(k))
 
     @property
     def num_domains(self) -> int:
@@ -95,11 +108,16 @@ def build_codebook(
             acc = acc + blocks[:, jnp.asarray(taps[:, :, j])]
         values = acc * 0.25  # [D, T, K]
 
+    from ..ops.matcher_pallas import inv_var_b
+
+    sums = values.sum(axis=-1)
+    sums_sq = (values * values).sum(axis=-1)
     return Codebook(
         values=values,
-        sum=values.sum(axis=-1),
-        sum_sq=(values * values).sum(axis=-1),
+        sum=sums,
+        sum_sq=sums_sq,
         grid=domain_grid,
+        inv_var=inv_var_b(sums, sums_sq, float(target_size * target_size)),
     )
 
 

@@ -76,8 +76,13 @@ def solve_so(sum_a, sum_a2, sum_b, sum_b2, sum_ab, n: float, so_mode: str, s_max
 def _pair_scores(ranges, sum_a, sum_a2, cb: Codebook, cfg: EncoderConfig):
     """Scores + (s, o) for a chunk of ranges against the whole codebook.
 
-    ranges: [RC, K]; returns dist [RC, D, T] (criterion units), s, o [RC, D, T].
+    ranges: [RC, K]; returns (dist, key, s, o), each [RC, D, T].  ``dist`` is
+    in the criterion's units; ``key`` is the MINIMIZED ranking key (the
+    negated Pallas rank key, same f32 rounding as the kernel so winners and
+    tie-breaks agree bit-exactly; see ops.matcher_pallas._rank_tile).
     """
+    from ..ops.matcher_pallas import _rank_tile, rank_mode, rank_to_dist
+
     k = ranges.shape[-1]
     n = float(k)
     d, t, _ = cb.values.shape
@@ -104,36 +109,31 @@ def _pair_scores(ranges, sum_a, sum_a2, cb: Codebook, cfg: EncoderConfig):
 
     s, o = solve_so(sa, sa2, sb, sb2, sum_ab, n, cfg.so_mode, cfg.s_max)
 
-    if cfg.criterion == "raw":
-        domain_area = float(cb.grid.block_size * cb.grid.block_size)
-        dist = (sa2 - 2.0 * sum_ab + sb2) / domain_area
-    elif cfg.so_mode == "ls":
-        # Residual after the stored affine map.  For 'ls' the offset is the
-        # centred optimum, so use the centred-moments identity — the same
-        # expression (and f32 rounding) as the Pallas kernel epilogue.
-        var_a = n * sa2 - sa * sa
-        var_b = n * sb2 - sb * sb
-        cov = n * sum_ab - sa * sb
-        e = (var_a - 2.0 * s * cov + (s * s) * var_b) * (1.0 / n)
-        dist = jnp.maximum(e, 0.0) / n
-    else:
-        # general residual |A - s*B - o|^2 / N with the mode's (s, o)
-        e = (
-            sa2
-            + s * s * sb2
-            + n * o * o
-            + 2.0 * s * o * sb
-            - 2.0 * s * sum_ab
-            - 2.0 * o * sa
-        )
-        dist = jnp.maximum(e, 0.0) / n
-    return dist, s, o
+    inv_norm = (
+        1.0 / (cb.grid.block_size * cb.grid.block_size)
+        if cfg.criterion == "raw"
+        else 1.0 / k
+    )
+    mode_kw = dict(criterion=cfg.criterion, so_mode=cfg.so_mode,
+                   s_max=cfg.s_max, inv_norm=inv_norm, n=n)
+    aux = (
+        cb.inv_var_or_compute()[None, :, :]
+        if rank_mode(cfg.criterion, cfg.so_mode, cfg.s_max) == "ls"
+        else sb2
+    )
+    q = _rank_tile(sum_ab, sa, sa2, sb, aux, **mode_kw)
+    dist = rank_to_dist(q, sa2, sa, **mode_kw)
+    return dist, -q, s, o
 
 
-def select_best(dist, threshold: float):
+def select_best(dist, threshold: float, key=None):
     """Per-range winner with the reference's tie/early-accept rules.
 
     dist: [RC, D, T].  Returns flat winner index into (D, T), i32.
+    ``key`` (optional, same shape) is the MINIMIZED ranking key; when given,
+    ranking/tie-breaks use it while the early-accept frontier still uses
+    ``dist`` (thresholds are in distance units).  Ranking by key keeps the
+    oracle bit-consistent with the Pallas kernels' rank-key argmax.
 
     Full-scan equivalence of the early exits: let d* be the first domain whose
     per-domain min <= threshold (if any).  The reference's scan then never
@@ -141,6 +141,8 @@ def select_best(dist, threshold: float):
     distance <= threshold).  So mask out (d, t) beyond that frontier and take
     a composite argmin with keys (distance asc, domain asc, transform desc).
     """
+    if key is None:
+        key = dist
     rc, d, t = dist.shape
     dmin = dist.min(axis=2)  # [RC, D]
     hit = dmin <= threshold
@@ -157,9 +159,9 @@ def select_best(dist, threshold: float):
     beyond = (d_ids > dstar[:, None, None]) | (
         (d_ids == dstar[:, None, None]) & (t_ids > tstar[:, None, None])
     )
-    masked = jnp.where(has_hit[:, None, None] & beyond, _BIG, dist)
+    masked = jnp.where(has_hit[:, None, None] & beyond, _BIG, key)
 
-    # composite argmin: distance asc, then domain asc, then transform DESC
+    # composite argmin: key asc, then domain asc, then transform DESC
     # (later transform wins ties: transformmatcher.h:57,67).
     rev = masked[:, :, ::-1].reshape(rc, d * t)
     flat_rev = jnp.argmin(rev, axis=1).astype(jnp.int32)
@@ -230,7 +232,9 @@ def search_pallas_classed(
     from ..ops.matcher_pallas import (
         DEFAULT_BM,
         DEFAULT_BR,
+        INT8_MAX_K,
         fused_search_classed,
+        rank_mode,
     )
 
     r, k = ranges.shape
@@ -249,6 +253,11 @@ def search_pallas_classed(
     cb_cols = cb.values[:, ::-1, :].reshape(m, k)
     sb = cb.sum[:, ::-1].reshape(m)
     sb2 = cb.sum_sq[:, ::-1].reshape(m)
+    aux = (
+        cb.inv_var_or_compute()[:, ::-1].reshape(m)
+        if rank_mode(cfg.criterion, cfg.so_mode, cfg.s_max) == "ls"
+        else sb2
+    )
 
     rpos, _, _, r_tile_cum = _class_layout(rcls01, block_r)
     cpos, c_seg_start, c_counts, _ = _class_layout(ccls01, block_m)
@@ -270,7 +279,7 @@ def search_pallas_classed(
     sa2_s = jnp.concatenate([sum_a2, pad_1])[inv_r]
     cb_s = jnp.concatenate([cb_cols, pad_row])[inv_col]
     sb_s = jnp.concatenate([sb, pad_1])[inv_col]
-    sb2_s = jnp.concatenate([sb2, pad_1])[inv_col]
+    aux_s = jnp.concatenate([aux, pad_1])[inv_col]
 
     # per-range-tile class (tiles beyond the last class are padding -> 7)
     nrt = r_pad // block_r
@@ -282,7 +291,7 @@ def search_pallas_classed(
     col_end = c_seg_start + c_counts  # [8] first invalid sorted index
 
     dist_s, idx_s = fused_search_classed(
-        ranges_s, sa_s, sa2_s, cb_s, sb_s, sb2_s,
+        ranges_s, sa_s, sa2_s, cb_s, sb_s, aux_s,
         tile_class, col_tile_start, col_tile_count, col_end,
         criterion=cfg.criterion,
         so_mode=cfg.so_mode,
@@ -294,6 +303,7 @@ def search_pallas_classed(
         ),
         block_r=block_r,
         block_m=block_m,
+        use_int8=cfg.int8_matmul and k <= INT8_MAX_K,
         interpret=interpret,
     )
 
@@ -340,7 +350,13 @@ def search_pallas(
     exactly-zero-distance transforms is recorded — all of them decode
     identically, see ``select_best``'s docstring).
     """
-    from ..ops.matcher_pallas import DEFAULT_BM, DEFAULT_BR, fused_search
+    from ..ops.matcher_pallas import (
+        DEFAULT_BM,
+        DEFAULT_BR,
+        INT8_MAX_K,
+        fused_search,
+        rank_mode,
+    )
 
     r, k = ranges.shape
     d, t, _ = cb.values.shape
@@ -350,6 +366,11 @@ def search_pallas(
     cb_cols = cb.values[:, ::-1, :].reshape(m, k)
     sb = cb.sum[:, ::-1].reshape(m)
     sb2 = cb.sum_sq[:, ::-1].reshape(m)
+    aux = (
+        cb.inv_var_or_compute()[:, ::-1].reshape(m)
+        if rank_mode(cfg.criterion, cfg.so_mode, cfg.s_max) == "ls"
+        else sb2
+    )
 
     use_classes = range_classes is not None and cfg.use_classifier
     if use_classes:
@@ -371,11 +392,11 @@ def search_pallas(
     cb_cols_p = jnp.pad(cb_cols, ((0, mp - m), (0, 0)))
     # padded tail is masked by column index inside the kernel (m_valid)
     sb_p = jnp.pad(sb, (0, mp - m))
-    sb2_p = jnp.pad(sb2, (0, mp - m))
+    aux_p = jnp.pad(aux, (0, mp - m))
     col_cls_p = jnp.pad(col_cls, (0, mp - m), constant_values=-4)
 
     dist, win_m = fused_search(
-        ranges_p, sum_a_p, sum_a2_p, cb_cols_p, sb_p, sb2_p, rcls_p, col_cls_p,
+        ranges_p, sum_a_p, sum_a2_p, cb_cols_p, sb_p, aux_p, rcls_p, col_cls_p,
         criterion=cfg.criterion,
         so_mode=cfg.so_mode,
         s_max=cfg.s_max,
@@ -388,6 +409,7 @@ def search_pallas(
         m_valid=m,
         block_r=block_r,
         block_m=block_m,
+        use_int8=cfg.int8_matmul and k <= INT8_MAX_K,
         interpret=interpret,
     )
     dist = dist[:r]
@@ -451,13 +473,15 @@ def search(
             rng, sa, sa2, rcls = args
         else:
             rng, sa, sa2 = args
-        dist, s, o = _pair_scores(rng, sa, sa2, cb, cfg)
+        dist, key, s, o = _pair_scores(rng, sa, sa2, cb, cfg)
         if use_classes:
             match = rcls[:, None] == domain_classes[None, :]  # [RC, D]
             dist = jnp.where(match[:, :, None], dist, _BIG)
+            key = jnp.where(match[:, :, None], key, _BIG)
         if domain_mask is not None:
             dist = jnp.where(domain_mask[None, :, None], dist, _BIG)
-        win_d, win_t = select_best(dist, cfg.rms_threshold)
+            key = jnp.where(domain_mask[None, :, None], key, _BIG)
+        win_d, win_t = select_best(dist, cfg.rms_threshold, key)
         take = lambda x: jnp.take_along_axis(
             jnp.take_along_axis(x, win_d[:, None, None], axis=1)[:, 0, :],
             win_t[:, None],

@@ -30,30 +30,58 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_search", "DEFAULT_BR", "DEFAULT_BM"]
+__all__ = ["fused_search", "DEFAULT_BR", "DEFAULT_BM", "INT8_MAX_K"]
 
 DEFAULT_BR = 512  # ranges per program
 DEFAULT_BM = 4096  # codebook columns per inner tile
 # (swept on v5e at 2048^2: (512, 4096) and (1024, 2048) tie ~6% ahead of the
 # (256, 2048) starting point)
 
+# Largest contraction K for which the int8 decomposition of SumAB is exact in
+# f32 (see _pair_ab): |4*SumAB - 512*SumB| <= 4*K*255^2 must stay < 2^24.
+# K=64 (8x8 ranges) fits; K=256 falls back to the f32 HIGHEST path.
+INT8_MAX_K = 64
+
 _BIG = 3.0e38
 
 
+def _pair_ab_f32(a, c):
+    """SumAB for all pairs: [BR, K] f32 x [BM, K] f32 -> [BR, BM] f32.
+
+    HIGHEST precision keeps the f32 distance algebra exact — the multi-pass
+    bf16 decomposition is exact for 8-bit pixels x 0.25-quantized samples.
+    """
+    return jax.lax.dot_general(
+        a, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _pair_ab_int8(ai, ch, cl, sb):
+    """Exact SumAB from the int8 decomposition (~4x the HIGHEST-f32 MXU rate).
+
+    Range pixels are 8-bit ints A in [0, 255]; codebook samples are 2x2-box
+    averages, i.e. multiples of 0.25 in [0, 255] so B4 = 4*B is a 10-bit int.
+    With ai = A - 128 (int8), ch = B4 >> 3 (7-bit), cl = B4 & 7 (3-bit):
+
+        SumAB = 0.25 * (8*(ai.ch) + (ai.cl)) + 128*SumB
+
+    Both dots are int8 x int8 -> i32 on the MXU (one native pass each vs the
+    3+ passes of HIGHEST f32).  For K <= INT8_MAX_K the i32 combination and
+    its f32 rendering are exact, so distances are bit-identical to the f32
+    path.  ``sb`` is the [1, BM] SumB row that is already a kernel input.
+    """
+    dn = (((1,), (1,)), ((), ()))
+    abh = jax.lax.dot_general(ai, ch, dimension_numbers=dn,
+                              preferred_element_type=jnp.int32)
+    abl = jax.lax.dot_general(ai, cl, dimension_numbers=dn,
+                              preferred_element_type=jnp.int32)
+    return (8 * abh + abl).astype(jnp.float32) * 0.25 + 128.0 * sb
+
+
 def _search_kernel(
-    a_ref,  # [BR, K] range tile
-    sa_ref,  # [BR, 1] range sums
-    sa2_ref,  # [BR, 1] range sums of squares
-    c_ref,  # [BM, K] codebook tile (search order)
-    sb_ref,  # [1, BM]
-    sb2_ref,  # [1, BM]
-    rcls_ref,  # [BR, 1] i32 range classes (or all-zero when disabled)
-    ccls_ref,  # [1, BM] i32 codebook column classes
-    dist_out,  # [BR, 1] f32
-    idx_out,  # [BR, 1] i32
-    best_dist,  # VMEM scratch [BR, 1] f32
-    best_idx,  # VMEM scratch [BR, 1] i32
-    *,
+    *refs,  # tensor refs + outputs + scratch, see unpacking below
     bm: int,
     criterion: str,
     so_mode: str,
@@ -61,115 +89,203 @@ def _search_kernel(
     inv_norm: float,
     k: int,
     use_classes: bool,
+    use_int8: bool,
     m_valid: int,
 ):
+    # f32 mode:  a[BR,K]f32, sa, sa2, c[BM,K]f32, sb, aux, rcls, ccls
+    # int8 mode: ai[BR,K]i8, sa, sa2, ch[BM,K]i8, cl[BM,K]i8, sb, aux, rcls, ccls
+    # aux = inv_var_b (mode 'ls') or SumB2 (other modes); see rank_mode.
+    if use_int8:
+        (ai_ref, sa_ref, sa2_ref, ch_ref, cl_ref, sb_ref, aux_ref,
+         rcls_ref, ccls_ref, q_out, idx_out, best_q, best_idx) = refs
+    else:
+        (a_ref, sa_ref, sa2_ref, c_ref, sb_ref, aux_ref,
+         rcls_ref, ccls_ref, q_out, idx_out, best_q, best_idx) = refs
+
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _init():
-        best_dist[:] = jnp.full_like(best_dist, _BIG)
+        best_q[:] = jnp.full_like(best_q, -_BIG)
         best_idx[:] = jnp.zeros_like(best_idx)
-
-    a = a_ref[:]  # [BR, K]
-    c = c_ref[:]  # [BM, K]
-    # MXU: SumAB for all pairs in this tile.  HIGHEST precision keeps the
-    # f32 distance algebra exact (see encode/matcher.py) — the multi-pass
-    # bf16 decomposition is exact for 8-bit pixels x 0.25-quantized samples.
-    ab = jax.lax.dot_general(
-        a, c, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [BR, BM]
 
     sa = sa_ref[:]  # [BR, 1]
     sa2 = sa2_ref[:]  # [BR, 1]
     sb = sb_ref[:]  # [1, BM]
-    sb2 = sb2_ref[:]  # [1, BM]
     n = float(k)
 
-    # Keep the number of live [BR, BM] f32 temporaries minimal — they drive
-    # the kernel's scoped-VMEM footprint (see _score_tile: centred-moments
-    # identity for the 'ls' offset, general residual otherwise).
-    dist = _score_tile(ab, sa, sa2, sb, sb2, criterion=criterion,
-                       so_mode=so_mode, s_max=s_max, inv_norm=inv_norm, n=n)
+    # MXU: SumAB for all pairs in this tile — [BR, BM] f32, exact either way.
+    if use_int8:
+        ab = _pair_ab_int8(ai_ref[:], ch_ref[:], cl_ref[:], sb)
+    else:
+        ab = _pair_ab_f32(a_ref[:], c_ref[:])
+
+    q = _rank_tile(ab, sa, sa2, sb, aux_ref[:], criterion=criterion,
+                   so_mode=so_mode, s_max=s_max, inv_norm=inv_norm, n=n)
 
     if use_classes:
         mask = rcls_ref[:] == ccls_ref[:]  # [BR, BM] via broadcast
-        dist = jnp.where(mask, dist, _BIG)
+        q = jnp.where(mask, q, -_BIG)
 
     # mask padded codebook columns (static tail; their zero vectors would
-    # otherwise produce NaN/spurious scores in the affine epilogue)
+    # otherwise produce spurious keys)
     col = j * bm + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
-    dist = jnp.where(col < m_valid, dist, _BIG)
+    q = jnp.where(col < m_valid, q, -_BIG)
 
-    # tile-local argmin (first occurrence = lowest column index)
-    tile_min = jnp.min(dist, axis=1, keepdims=True)  # [BR, 1]
-    tile_arg = jnp.argmin(dist, axis=1).reshape(-1, 1).astype(jnp.int32)  # [BR, 1]
+    # tile-local argmax with EXPLICIT first-occurrence tie-break (= lowest
+    # column index = the reference's argmin-dist tie rule; q is strictly
+    # decreasing in dist).  Mosaic's compiled argmax does not guarantee
+    # first-occurrence on ties, so take min-index-of-max instead.
+    tile_q = jnp.max(q, axis=1, keepdims=True)  # [BR, 1]
+    ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    tile_arg = jnp.min(jnp.where(q == tile_q, ids, jnp.int32(2**31 - 1)),
+                       axis=1, keepdims=True)  # [BR, 1]
     tile_arg = tile_arg + j * bm
 
-    improved = tile_min < best_dist[:]
+    improved = tile_q > best_q[:]
     best_idx[:] = jnp.where(improved, tile_arg, best_idx[:])
-    best_dist[:] = jnp.where(improved, tile_min, best_dist[:])
+    best_q[:] = jnp.where(improved, tile_q, best_q[:])
 
     @pl.when(j == nj - 1)
     def _finalize():
-        dist_out[:] = best_dist[:]
+        q_out[:] = best_q[:]
         idx_out[:] = best_idx[:]
 
 
-def _score_tile(ab, sa, sa2, sb, sb2, *, criterion, so_mode, s_max, inv_norm, n):
-    """Shared VPU epilogue: pair scores from the five sums (see kernel doc)."""
+def rank_mode(criterion: str, so_mode: str, s_max: float) -> str:
+    """Which ranking epilogue a (criterion, so_mode, s_max) combo uses.
+
+    'raw'     — key q = 2*SumAB - SumB2 (maximize); dist = (SumA2 - q)*inv_norm.
+    'ls'      — key q = cov^2 * inv_var_b (maximize);
+                dist = max(var_a - q, 0) * (inv_norm / n).
+                Requires the per-column reciprocal inv_var_b as the aux input.
+    'general' — full residual with the mode's (s, o); key q = -dist.
+
+    The fast keys drop every per-pair division/select and the rank-1
+    var_a/var_b terms from the [BR, BM] hot loop: ranking by q is strictly
+    monotone in dist per row, so argmax-q with first-occurrence ties equals
+    the reference argmin-dist tie-break.  The jnp oracle ranks with the same
+    expressions (same f32 rounding), keeping kernel/oracle winners identical.
+    """
     if criterion == "raw":
-        return (sa2 - 2.0 * ab + sb2) * inv_norm
-    var_a = n * sa2 - sa * sa
+        return "raw"
+    if so_mode == "ls" and s_max <= 0.0:
+        return "ls"
+    return "general"
+
+
+def inv_var_b(sb, sb2, n: float):
+    """Per-column guarded reciprocal 1/var_b with the oracle's zero-guard
+    semantics (s = 0 when |var_b| < 1e-5; solve_so in encode/matcher.py)."""
     var_b = n * sb2 - sb * sb
-    cov = n * ab - sa * sb
+    return jnp.where(jnp.abs(var_b) < 1e-5, 0.0,
+                     1.0 / jnp.where(var_b == 0.0, 1.0, var_b))
+
+
+def _cov_exact(ab, sa, sb, n: float):
+    """cov = n*SumAB - SumA*SumB with NO catastrophic cancellation noise.
+
+    cov is the difference of two ~n*K*255^2 quantities; in f32 the result
+    (often ~1e2) inherits the operands' rounding, and worse, it varies with
+    the compiler's FMA-contraction choices — enough to flip argmax winners
+    between separately compiled programs (kernel vs oracle).  All terms are
+    multiples of 0.25, so for K <= INT8_MAX_K the scaled difference fits i32
+    exactly; the single deterministic rounding is the final i32->f32 cast.
+    """
+    if n <= INT8_MAX_K:
+        ab4 = (4.0 * ab).astype(jnp.int32)  # exact: 4*SumAB <= 2^24
+        sa_i = sa.astype(jnp.int32)
+        sb4 = (4.0 * sb).astype(jnp.int32)
+        cov4 = int(n) * ab4 - sa_i * sb4  # exact i32
+        return cov4.astype(jnp.float32) * 0.25
+    return n * ab - sa * sb
+
+
+def _rank_tile(ab, sa, sa2, sb, aux, *, criterion, so_mode, s_max, inv_norm, n):
+    """Shared VPU epilogue: the MAXIMIZED ranking key q for a [BR, BM] tile.
+
+    ``aux`` is inv_var_b for mode 'ls', SumB2 otherwise (see rank_mode).
+    """
+    mode = rank_mode(criterion, so_mode, s_max)
+    if mode == "raw":
+        return 2.0 * ab - aux  # aux = sb2
+    cov = _cov_exact(ab, sa, sb, n)
+    if mode == "ls":
+        return (cov * cov) * aux  # aux = inv_var_b
+    # general: full residual, q = -dist (aux = sb2)
+    sb2 = aux
+    var_b = n * sb2 - sb * sb
     if so_mode == "ls":
+        var_a = n * sa2 - sa * sa
         s = jnp.where(jnp.abs(var_b) < 1e-5, 0.0,
                       cov / jnp.where(var_b == 0.0, 1.0, var_b))
         if s_max > 0.0:
             s = jnp.clip(s, -s_max, s_max)
         e = (var_a - 2.0 * s * cov + (s * s) * var_b) * (1.0 / n)
-        return jnp.maximum(e, 0.0) * inv_norm
+        return -(jnp.maximum(e, 0.0) * inv_norm)
     den = n * sa2 - (sa - 1.0) * sa
-    num = n * ab - sa * sb
     s = jnp.where(jnp.abs(den) < 1e-5, 0.0,
-                  num / jnp.where(den == 0.0, 1.0, den))
+                  cov / jnp.where(den == 0.0, 1.0, den))
     if s_max > 0.0:
         s = jnp.clip(s, -s_max, s_max)
     o = (sb - s * sa) * (1.0 / n)
     e = (sa2 + (s * s) * sb2 + n * o * o + 2.0 * s * o * sb
          - 2.0 * s * ab - 2.0 * o * sa)
-    return jnp.maximum(e, 0.0) * inv_norm
+    return -(jnp.maximum(e, 0.0) * inv_norm)
+
+
+def rank_to_dist(q, sa2, sa, *, criterion, so_mode, s_max, inv_norm, n: float):
+    """Convert ranking keys back to distances (the wrappers' epilogue).
+
+    Vectorized over any shape; sa/sa2 broadcast against q.  Entries with
+    q <= -_BIG/2 (masked) map to +_BIG.
+    """
+    mode = rank_mode(criterion, so_mode, s_max)
+    if mode == "raw":
+        dist = (sa2 - q) * inv_norm
+    elif mode == "ls":
+        if n <= INT8_MAX_K:  # exact var_a (integer terms; see _cov_exact)
+            sa_i = sa.astype(jnp.int32)
+            var_a = (int(n) * sa2.astype(jnp.int32)
+                     - sa_i * sa_i).astype(jnp.float32)
+        else:
+            var_a = n * sa2 - sa * sa
+        dist = jnp.maximum(var_a - q, 0.0) * (inv_norm * (1.0 / n))
+    else:
+        dist = -q
+    return jnp.where(q <= -_BIG * 0.5, _BIG, dist)
 
 
 def _classed_kernel(
-    # scalar prefetch
-    tile_class_ref,  # [NRT] i32 — class of each range tile
-    col_tile_start_ref,  # [NC] i32 — first column tile of each class
-    col_tile_count_ref,  # [NC] i32 — number of column tiles of each class
-    col_end_ref,  # [NC] i32 — first invalid sorted-column index per class
-    # tensors
-    a_ref, sa_ref, sa2_ref,  # [BR, K], [BR, 1], [BR, 1]
-    c_ref, sb_ref, sb2_ref,  # [BM, K], [1, BM], [1, BM]
-    dist_out, idx_out,  # [BR, 1]
-    best_dist, best_idx,  # VMEM scratch [BR, 1]
-    *,
+    # scalar prefetch (4 refs), then tensors:
+    # f32 mode:  a[BR,K]f32, sa, sa2, c[BM,K]f32, sb, sb2
+    # int8 mode: ai[BR,K]i8, sa, sa2, ch[BM,K]i8, cl[BM,K]i8, sb, sb2
+    *refs,
     bm: int,
     criterion: str,
     so_mode: str,
     s_max: float,
     inv_norm: float,
     k: int,
+    use_int8: bool,
 ):
+    if use_int8:
+        (tile_class_ref, col_tile_start_ref, col_tile_count_ref, col_end_ref,
+         ai_ref, sa_ref, sa2_ref, ch_ref, cl_ref, sb_ref, aux_ref,
+         q_out, idx_out, best_q, best_idx) = refs
+    else:
+        (tile_class_ref, col_tile_start_ref, col_tile_count_ref, col_end_ref,
+         a_ref, sa_ref, sa2_ref, c_ref, sb_ref, aux_ref,
+         q_out, idx_out, best_q, best_idx) = refs
+
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _init():
-        best_dist[:] = jnp.full_like(best_dist, _BIG)
+        best_q[:] = jnp.full_like(best_q, -_BIG)
         best_idx[:] = jnp.zeros_like(best_idx)
 
     cls = tile_class_ref[i]
@@ -177,36 +293,46 @@ def _classed_kernel(
 
     @pl.when(active)
     def _compute():
-        ab = jax.lax.dot_general(
-            a_ref[:], c_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        dist = _score_tile(
-            ab, sa_ref[:], sa2_ref[:], sb_ref[:], sb2_ref[:],
+        if use_int8:
+            ab = _pair_ab_int8(ai_ref[:], ch_ref[:], cl_ref[:], sb_ref[:])
+        else:
+            ab = _pair_ab_f32(a_ref[:], c_ref[:])
+        q = _rank_tile(
+            ab, sa_ref[:], sa2_ref[:], sb_ref[:], aux_ref[:],
             criterion=criterion, so_mode=so_mode, s_max=s_max,
             inv_norm=inv_norm, n=float(k),
         )
         col0 = (col_tile_start_ref[cls] + j) * bm
         col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
-        dist = jnp.where(col < col_end_ref[cls], dist, _BIG)
+        q = jnp.where(col < col_end_ref[cls], q, -_BIG)
 
-        tile_min = jnp.min(dist, axis=1, keepdims=True)
-        tile_arg = jnp.argmin(dist, axis=1).reshape(-1, 1).astype(jnp.int32) + col0
-        improved = tile_min < best_dist[:]
+        # explicit first-occurrence argmax; see _search_kernel
+        tile_q = jnp.max(q, axis=1, keepdims=True)
+        ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+        tile_arg = jnp.min(jnp.where(q == tile_q, ids, jnp.int32(2**31 - 1)),
+                           axis=1, keepdims=True) + col0
+        improved = tile_q > best_q[:]
         best_idx[:] = jnp.where(improved, tile_arg, best_idx[:])
-        best_dist[:] = jnp.where(improved, tile_min, best_dist[:])
+        best_q[:] = jnp.where(improved, tile_q, best_q[:])
 
     @pl.when(j == nj - 1)
     def _finalize():
-        dist_out[:] = best_dist[:]
+        q_out[:] = best_q[:]
         idx_out[:] = best_idx[:]
+
+
+def _int8_operands(ranges_f32, cb_f32):
+    """(ai, ch, cl) int8 operands for _pair_ab_int8, derived from the exact
+    f32 arrays (range pixels: 8-bit ints; codebook: 0.25-quantized)."""
+    ai = (ranges_f32.astype(jnp.int32) - 128).astype(jnp.int8)
+    b4 = jnp.round(cb_f32 * 4.0).astype(jnp.int32)
+    return ai, (b4 >> 3).astype(jnp.int8), (b4 & 7).astype(jnp.int8)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("criterion", "so_mode", "s_max", "inv_norm",
-                     "block_r", "block_m", "interpret"),
+                     "block_r", "block_m", "use_int8", "interpret"),
 )
 def fused_search_classed(
     ranges_sorted,  # [R_pad, K] f32 — class-sorted, tile-aligned
@@ -214,7 +340,7 @@ def fused_search_classed(
     sum_a2_sorted,  # [R_pad]
     cb_sorted,  # [M_pad, K] f32 — class-sorted, tile-aligned columns
     sb_sorted,  # [M_pad]
-    sb2_sorted,  # [M_pad]
+    aux_sorted,  # [M_pad] — inv_var_b (mode 'ls') or SumB2; see rank_mode
     tile_class,  # [NRT] i32
     col_tile_start,  # [NC] i32 (in units of column tiles)
     col_tile_count,  # [NC] i32
@@ -226,6 +352,7 @@ def fused_search_classed(
     inv_norm: float,
     block_r: int = DEFAULT_BR,
     block_m: int = DEFAULT_BM,
+    use_int8: bool = False,
     interpret: bool = False,
 ):
     """Class-blocked search: each range tile only visits its class's column
@@ -239,6 +366,7 @@ def fused_search_classed(
     r_pad, k = ranges_sorted.shape
     m_pad = cb_sorted.shape[0]
     assert r_pad % block_r == 0 and m_pad % block_m == 0
+    assert not (use_int8 and k > INT8_MAX_K)
     nrt = r_pad // block_r
     max_tiles = m_pad // block_m
     grid = (nrt, max_tiles)
@@ -251,6 +379,7 @@ def fused_search_classed(
         s_max=s_max,
         inv_norm=inv_norm,
         k=k,
+        use_int8=use_int8,
     )
 
     def col_index(i, j, tile_class, col_tile_start, col_tile_count, col_end):
@@ -261,20 +390,37 @@ def fused_search_classed(
         jj = jnp.minimum(j, jnp.maximum(col_tile_count[cls] - 1, 0))
         return col_tile_start[cls] + jj
 
+    row_spec = pl.BlockSpec((block_r, k), lambda i, j, *s: (i, 0))
+    rsum_spec = pl.BlockSpec((block_r, 1), lambda i, j, *s: (i, 0))
+    col_spec = pl.BlockSpec((block_m, k),
+                            lambda i, j, *s: (col_index(i, j, *s), 0))
+    csum_spec = pl.BlockSpec((1, block_m),
+                             lambda i, j, *s: (0, col_index(i, j, *s)))
+
+    if use_int8:
+        ai, ch, cl = _int8_operands(ranges_sorted, cb_sorted)
+        tensor_args = (ai,
+                       sum_a_sorted.reshape(-1, 1),
+                       sum_a2_sorted.reshape(-1, 1),
+                       ch, cl,
+                       sb_sorted.reshape(1, -1),
+                       aux_sorted.reshape(1, -1))
+        in_specs = [row_spec, rsum_spec, rsum_spec,
+                    col_spec, col_spec, csum_spec, csum_spec]
+    else:
+        tensor_args = (ranges_sorted,
+                       sum_a_sorted.reshape(-1, 1),
+                       sum_a2_sorted.reshape(-1, 1),
+                       cb_sorted,
+                       sb_sorted.reshape(1, -1),
+                       aux_sorted.reshape(1, -1))
+        in_specs = [row_spec, rsum_spec, rsum_spec,
+                    col_spec, csum_spec, csum_spec]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_r, k), lambda i, j, *s: (i, 0)),
-            pl.BlockSpec((block_r, 1), lambda i, j, *s: (i, 0)),
-            pl.BlockSpec((block_r, 1), lambda i, j, *s: (i, 0)),
-            pl.BlockSpec((block_m, k),
-                         lambda i, j, *s: (col_index(i, j, *s), 0)),
-            pl.BlockSpec((1, block_m),
-                         lambda i, j, *s: (0, col_index(i, j, *s))),
-            pl.BlockSpec((1, block_m),
-                         lambda i, j, *s: (0, col_index(i, j, *s))),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((block_r, 1), lambda i, j, *s: (i, 0)),
             pl.BlockSpec((block_r, 1), lambda i, j, *s: (i, 0)),
@@ -290,7 +436,7 @@ def fused_search_classed(
         (6 * block_r * block_m + 4 * block_m * k + 2 * block_r * k) * 4
         + 4 * 1024 * 1024,
     )
-    dist, idx = pl.pallas_call(
+    q, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -304,20 +450,20 @@ def fused_search_classed(
         col_tile_start.astype(jnp.int32),
         col_tile_count.astype(jnp.int32),
         col_end.astype(jnp.int32),
-        ranges_sorted,
-        sum_a_sorted.reshape(-1, 1),
-        sum_a2_sorted.reshape(-1, 1),
-        cb_sorted,
-        sb_sorted.reshape(1, -1),
-        sb2_sorted.reshape(1, -1),
+        *tensor_args,
     )
-    return dist.reshape(-1), idx.reshape(-1)
+    dist = rank_to_dist(
+        q.reshape(-1), sum_a2_sorted, sum_a_sorted,
+        criterion=criterion, so_mode=so_mode, s_max=s_max,
+        inv_norm=inv_norm, n=float(k),
+    )
+    return dist, idx.reshape(-1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("criterion", "so_mode", "s_max", "inv_norm", "use_classes",
-                     "m_valid", "block_r", "block_m", "interpret"),
+                     "m_valid", "block_r", "block_m", "use_int8", "interpret"),
 )
 def fused_search(
     ranges,  # [R, K] f32
@@ -325,7 +471,7 @@ def fused_search(
     sum_a2,  # [R] f32
     codebook,  # [M, K] f32, columns in search order
     sum_b,  # [M] f32
-    sum_b2,  # [M] f32
+    aux_b,  # [M] f32 — inv_var_b (mode 'ls') or SumB2; see rank_mode
     range_classes,  # [R] i32 (zeros when use_classes=False)
     col_classes,  # [M] i32
     *,
@@ -337,6 +483,7 @@ def fused_search(
     m_valid: int | None = None,
     block_r: int = DEFAULT_BR,
     block_m: int = DEFAULT_BM,
+    use_int8: bool = False,
     interpret: bool = False,
 ):
     """Returns (best_dist [R] f32, best_idx [R] i32 into the M axis).
@@ -348,6 +495,7 @@ def fused_search(
     r, k = ranges.shape
     m = codebook.shape[0]
     assert r % block_r == 0 and m % block_m == 0, (r, m, block_r, block_m)
+    assert not (use_int8 and k > INT8_MAX_K)
     grid = (r // block_r, m // block_m)
 
     kernel = functools.partial(
@@ -359,8 +507,28 @@ def fused_search(
         inv_norm=inv_norm,
         k=k,
         use_classes=use_classes,
+        use_int8=use_int8,
         m_valid=m if m_valid is None else m_valid,
     )
+
+    row_spec = pl.BlockSpec((block_r, k), lambda i, j: (i, 0))
+    rsum_spec = pl.BlockSpec((block_r, 1), lambda i, j: (i, 0))
+    col_spec = pl.BlockSpec((block_m, k), lambda i, j: (j, 0))
+    csum_spec = pl.BlockSpec((1, block_m), lambda i, j: (0, j))
+    aux = aux_b
+
+    if use_int8:
+        ai, ch, cl = _int8_operands(ranges, codebook)
+        tensor_args = (ai, sum_a.reshape(-1, 1), sum_a2.reshape(-1, 1),
+                       ch, cl, sum_b.reshape(1, -1), aux.reshape(1, -1))
+        in_specs = [row_spec, rsum_spec, rsum_spec,
+                    col_spec, col_spec, csum_spec, csum_spec]
+    else:
+        tensor_args = (ranges, sum_a.reshape(-1, 1), sum_a2.reshape(-1, 1),
+                       codebook, sum_b.reshape(1, -1), aux.reshape(1, -1))
+        in_specs = [row_spec, rsum_spec, rsum_spec,
+                    col_spec, csum_spec, csum_spec]
+    in_specs += [rsum_spec, csum_spec]  # rcls, ccls
 
     # VMEM budget: the epilogue keeps a handful of [block_r, block_m] f32
     # arrays live; give the compiler explicit headroom so large grids don't
@@ -370,20 +538,11 @@ def fused_search(
         (6 * block_r * block_m + 4 * block_m * k + 2 * block_r * k) * 4
         + 4 * 1024 * 1024,
     )
-    dist, idx = pl.pallas_call(
+    q, idx = pl.pallas_call(
         kernel,
         grid=grid,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
-        in_specs=[
-            pl.BlockSpec((block_r, k), lambda i, j: (i, 0)),
-            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((block_m, k), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, block_m), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_m), lambda i, j: (0, j)),
-            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, block_m), lambda i, j: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
@@ -398,13 +557,13 @@ def fused_search(
         ],
         interpret=interpret,
     )(
-        ranges,
-        sum_a.reshape(-1, 1),
-        sum_a2.reshape(-1, 1),
-        codebook,
-        sum_b.reshape(1, -1),
-        sum_b2.reshape(1, -1),
+        *tensor_args,
         range_classes.reshape(-1, 1).astype(jnp.int32),
         col_classes.reshape(1, -1).astype(jnp.int32),
     )
-    return dist.reshape(-1), idx.reshape(-1)
+    dist = rank_to_dist(
+        q.reshape(-1), sum_a2, sum_a,
+        criterion=criterion, so_mode=so_mode, s_max=s_max,
+        inv_norm=inv_norm, n=float(k),
+    )
+    return dist, idx.reshape(-1)

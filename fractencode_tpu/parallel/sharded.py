@@ -127,12 +127,14 @@ def _encode_batch_impl(planes, cfg: EncoderConfig, mesh: Mesh, strategy: str):
                 vals = jnp.pad(cb.values, ((0, pad), (0, 0), (0, 0)))
                 sums = jnp.pad(cb.sum, ((0, pad), (0, 0)))
                 sums2 = jnp.pad(cb.sum_sq, ((0, pad), (0, 0)), constant_values=_BIG)
+                ivar = jnp.pad(cb.inv_var_or_compute(), ((0, pad), (0, 0)))
                 lo = idx * d_per
                 cb_shard = type(cb)(
                     values=jax.lax.dynamic_slice_in_dim(vals, lo, d_per, 0),
                     sum=jax.lax.dynamic_slice_in_dim(sums, lo, d_per, 0),
                     sum_sq=jax.lax.dynamic_slice_in_dim(sums2, lo, d_per, 0),
                     grid=domain_grid,
+                    inv_var=jax.lax.dynamic_slice_in_dim(ivar, lo, d_per, 0),
                 )
                 ranges = extract_ranges(plane_f32, cfg.target_size)
                 sum_a = ranges.sum(axis=-1)
@@ -273,12 +275,14 @@ def _encode_sharded_image_impl(plane, cfg: EncoderConfig, mesh: Mesh):
         vals = jax.lax.all_gather(cb_local.values, SEARCH_AXIS)
         sums = jax.lax.all_gather(cb_local.sum, SEARCH_AXIS)
         sums2 = jax.lax.all_gather(cb_local.sum_sq, SEARCH_AXIS)
+        ivar = jax.lax.all_gather(cb_local.inv_var_or_compute(), SEARCH_AXIS)
         d_total = n * d_local
         cb = type(cb_local)(
             values=vals.reshape(d_total, *cb_local.values.shape[1:]),
             sum=sums.reshape(d_total, *cb_local.sum.shape[1:]),
             sum_sq=sums2.reshape(d_total, *cb_local.sum_sq.shape[1:]),
             grid=domain_grid_global,
+            inv_var=ivar.reshape(d_total, *cb_local.sum.shape[1:]),
         )
         global_row = jnp.arange(d_total) // nx
         domain_mask = global_row < ny_global

@@ -47,6 +47,9 @@ class EncoderConfig:
     # Execution
     range_chunk: int = 2048  # ranges scored per scan step (memory knob)
     backend: str = "auto"  # 'auto' | 'jnp' | 'pallas'
+    int8_matmul: bool = True  # exact int8 MXU decomposition of SumAB in the
+    #   Pallas kernels (bit-identical to the f32 path; ~4x the MXU rate).
+    #   Auto-disabled when K = target_size^2 > ops.matcher_pallas.INT8_MAX_K.
 
     def __post_init__(self):
         if self.target_size >= self.source_size or self.target_size < 2:
