@@ -233,7 +233,10 @@ def search_pallas_classed(
         DEFAULT_BM,
         DEFAULT_BR,
         INT8_MAX_K,
+        PAIR_CAP,
+        _pack_pairs,
         fused_search_classed,
+        fused_search_pairs,
         rank_mode,
     )
 
@@ -290,9 +293,7 @@ def search_pallas_classed(
     col_tile_count = -(-c_counts // block_m)  # [8] ceil
     col_end = c_seg_start + c_counts  # [8] first invalid sorted index
 
-    dist_s, idx_s = fused_search_classed(
-        ranges_s, sa_s, sa2_s, cb_s, sb_s, aux_s,
-        tile_class, col_tile_start, col_tile_count, col_end,
+    common = dict(
         criterion=cfg.criterion,
         so_mode=cfg.so_mode,
         s_max=cfg.s_max,
@@ -306,6 +307,56 @@ def search_pallas_classed(
         use_int8=cfg.int8_matmul and k <= INT8_MAX_K,
         interpret=interpret,
     )
+
+    # Active-pair list: grid over exactly the (range tile, col tile) pairs
+    # the classifier keeps (dynamic length), instead of the worst-case 2-D
+    # grid with predicated-off steps.  Every tile gets >= 1 pair (a dummy
+    # when its class has no columns) so its output block is initialized.
+    max_tiles = m_pad // block_m
+    counts_t = col_tile_count[tile_class]  # [nrt]
+    counts_eff = jnp.maximum(counts_t, 1)
+    off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_eff).astype(jnp.int32)]
+    )
+    n_pairs = off[-1]
+    worst_pairs = nrt * max_tiles + nrt
+    p_cap = min(worst_pairs, PAIR_CAP)
+
+    def _pairs_path():
+        p_ids = jnp.arange(p_cap, dtype=jnp.int32)
+        rt = jnp.searchsorted(off[1:], p_ids, side="right").astype(jnp.int32)
+        rt = jnp.minimum(rt, nrt - 1)
+        jj = p_ids - off[rt]
+        valid_p = p_ids < n_pairs
+        cnt = counts_t[rt]
+        compute = valid_p & (jj < cnt)
+        first = valid_p & (jj == 0)
+        ct = col_tile_start[tile_class[rt]] + jnp.minimum(
+            jj, jnp.maximum(cnt - 1, 0)
+        )
+        pairs = _pack_pairs(rt, jnp.maximum(ct, 0), first, compute)
+        return fused_search_pairs(
+            ranges_s, sa_s, sa2_s, cb_s, sb_s, aux_s,
+            pairs, n_pairs, tile_class, col_end,
+            p_cap=p_cap, **common,
+        )
+
+    def _classed_path():
+        return fused_search_classed(
+            ranges_s, sa_s, sa2_s, cb_s, sb_s, aux_s,
+            tile_class, col_tile_start, col_tile_count, col_end,
+            **common,
+        )
+
+    if worst_pairs <= PAIR_CAP:
+        # the pair list can always hold every pair: no fallback needed
+        dist_s, idx_s = _pairs_path()
+    else:
+        # data-dependent overflow (very skewed class distributions at 4K+):
+        # compile both, execute the one that fits at runtime
+        dist_s, idx_s = jax.lax.cond(
+            n_pairs <= p_cap, _pairs_path, _classed_path
+        )
 
     dist = dist_s[rpos]  # [R]
     win_sorted = idx_s[rpos]

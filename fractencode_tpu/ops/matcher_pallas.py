@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_search", "DEFAULT_BR", "DEFAULT_BM", "INT8_MAX_K"]
+__all__ = ["fused_search", "fused_search_classed", "fused_search_pairs",
+           "DEFAULT_BR", "DEFAULT_BM", "INT8_MAX_K", "PAIR_CAP"]
 
 DEFAULT_BR = 512  # ranges per program
 DEFAULT_BM = 4096  # codebook columns per inner tile
@@ -327,6 +328,197 @@ def _int8_operands(ranges_f32, cb_f32):
     ai = (ranges_f32.astype(jnp.int32) - 128).astype(jnp.int8)
     b4 = jnp.round(cb_f32 * 4.0).astype(jnp.int32)
     return ai, (b4 >> 3).astype(jnp.int8), (b4 & 7).astype(jnp.int8)
+
+
+# Max active (range-tile, col-tile) pairs in the pair-list kernel: one packed
+# i32 per pair in SMEM via scalar prefetch (768KB measured safe on v5e).
+PAIR_CAP = 196608
+
+_CT_BITS = 10  # col-tile index field (m_pad/block_m < 1024 up to ~8K images)
+_RT_SHIFT = 2 + _CT_BITS
+
+
+def _pack_pairs(rt, ct, first, compute):
+    return ((rt << _RT_SHIFT) | (ct << 2)
+            | (first.astype(jnp.int32) << 1) | compute.astype(jnp.int32))
+
+
+def _pairs_kernel(
+    pair_ref,  # [P_cap] i32 packed (rt | ct | first | compute)
+    tile_class_ref,  # [NRT] i32
+    col_end_ref,  # [NC] i32
+    *refs,  # tensors (f32 or int8 layout, as in _classed_kernel) + outputs
+    bm: int,
+    criterion: str,
+    so_mode: str,
+    s_max: float,
+    inv_norm: float,
+    k: int,
+    use_int8: bool,
+):
+    """Active-pair-list search: 1-D DYNAMIC grid over exactly the pairs the
+    classifier keeps — zero skipped grid steps (the 2-D classed kernel pays
+    ~2.6us pipeline bookkeeping for every predicated-off step; at 4K that is
+    ~40% of the kernel).  The best-(q, idx) accumulators live directly in the
+    output blocks, which stay VMEM-resident while consecutive pairs share the
+    same range tile (pairs are sorted by range tile)."""
+    if use_int8:
+        (ai_ref, sa_ref, sa2_ref, ch_ref, cl_ref, sb_ref, aux_ref,
+         q_out, idx_out) = refs
+    else:
+        (a_ref, sa_ref, sa2_ref, c_ref, sb_ref, aux_ref,
+         q_out, idx_out) = refs
+
+    p = pl.program_id(0)
+    packed = pair_ref[p]
+    first = (packed >> 1) & 1
+    compute = packed & 1
+    ct = (packed >> 2) & ((1 << _CT_BITS) - 1)
+    rt = packed >> _RT_SHIFT
+
+    @pl.when(first == 1)
+    def _init():
+        q_out[:] = jnp.full_like(q_out, -_BIG)
+        idx_out[:] = jnp.zeros_like(idx_out)
+
+    @pl.when(compute == 1)
+    def _compute():
+        if use_int8:
+            ab = _pair_ab_int8(ai_ref[:], ch_ref[:], cl_ref[:], sb_ref[:])
+        else:
+            ab = _pair_ab_f32(a_ref[:], c_ref[:])
+        q = _rank_tile(
+            ab, sa_ref[:], sa2_ref[:], sb_ref[:], aux_ref[:],
+            criterion=criterion, so_mode=so_mode, s_max=s_max,
+            inv_norm=inv_norm, n=float(k),
+        )
+        col0 = ct * bm
+        col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
+        q = jnp.where(col < col_end_ref[tile_class_ref[rt]], q, -_BIG)
+
+        # explicit first-occurrence argmax; see _search_kernel
+        tile_q = jnp.max(q, axis=1, keepdims=True)
+        ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+        tile_arg = jnp.min(jnp.where(q == tile_q, ids, jnp.int32(2**31 - 1)),
+                           axis=1, keepdims=True) + col0
+        improved = tile_q > q_out[:]
+        idx_out[:] = jnp.where(improved, tile_arg, idx_out[:])
+        q_out[:] = jnp.where(improved, tile_q, q_out[:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("criterion", "so_mode", "s_max", "inv_norm",
+                     "block_r", "block_m", "p_cap", "use_int8", "interpret"),
+)
+def fused_search_pairs(
+    ranges_sorted,  # [R_pad, K] f32 — class-sorted, tile-aligned
+    sum_a_sorted,  # [R_pad]
+    sum_a2_sorted,  # [R_pad]
+    cb_sorted,  # [M_pad, K] f32 — class-sorted, tile-aligned columns
+    sb_sorted,  # [M_pad]
+    aux_sorted,  # [M_pad] — inv_var_b (mode 'ls') or SumB2
+    pairs,  # [p_cap] i32 packed pair list (valid prefix of length n_pairs)
+    n_pairs,  # i32 scalar — DYNAMIC grid length
+    tile_class,  # [NRT] i32
+    col_end,  # [NC] i32
+    *,
+    criterion: str,
+    so_mode: str,
+    s_max: float,
+    inv_norm: float,
+    block_r: int,
+    block_m: int,
+    p_cap: int,
+    use_int8: bool = False,
+    interpret: bool = False,
+):
+    """Pair-list variant of fused_search_classed (same results; see
+    _pairs_kernel).  The caller guarantees n_pairs <= p_cap and that every
+    range tile contributes at least one (possibly compute=0) pair so its
+    output block is initialized."""
+    r_pad, k = ranges_sorted.shape
+    assert r_pad % block_r == 0
+    assert not (use_int8 and k > INT8_MAX_K)
+
+    kernel = functools.partial(
+        _pairs_kernel,
+        bm=block_m,
+        criterion=criterion,
+        so_mode=so_mode,
+        s_max=s_max,
+        inv_norm=inv_norm,
+        k=k,
+        use_int8=use_int8,
+    )
+
+    def _rt(p, pairs, *_):
+        return pairs[p] >> _RT_SHIFT
+
+    def _ct(p, pairs, *_):
+        return (pairs[p] >> 2) & ((1 << _CT_BITS) - 1)
+
+    row_spec = pl.BlockSpec((block_r, k), lambda p, *s: (_rt(p, *s), 0))
+    rsum_spec = pl.BlockSpec((block_r, 1), lambda p, *s: (_rt(p, *s), 0))
+    col_spec = pl.BlockSpec((block_m, k), lambda p, *s: (_ct(p, *s), 0))
+    csum_spec = pl.BlockSpec((1, block_m), lambda p, *s: (0, _ct(p, *s)))
+
+    if use_int8:
+        ai, ch, cl = _int8_operands(ranges_sorted, cb_sorted)
+        tensor_args = (ai,
+                       sum_a_sorted.reshape(-1, 1),
+                       sum_a2_sorted.reshape(-1, 1),
+                       ch, cl,
+                       sb_sorted.reshape(1, -1),
+                       aux_sorted.reshape(1, -1))
+        in_specs = [row_spec, rsum_spec, rsum_spec,
+                    col_spec, col_spec, csum_spec, csum_spec]
+    else:
+        tensor_args = (ranges_sorted,
+                       sum_a_sorted.reshape(-1, 1),
+                       sum_a2_sorted.reshape(-1, 1),
+                       cb_sorted,
+                       sb_sorted.reshape(1, -1),
+                       aux_sorted.reshape(1, -1))
+        in_specs = [row_spec, rsum_spec, rsum_spec,
+                    col_spec, csum_spec, csum_spec]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pairs,),  # dynamic: exactly the active pairs, no tail
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((block_r, 1), lambda p, *s: (_rt(p, *s), 0)),
+            pl.BlockSpec((block_r, 1), lambda p, *s: (_rt(p, *s), 0)),
+        ],
+    )
+
+    vmem_bytes = min(
+        96 * 1024 * 1024,
+        (6 * block_r * block_m + 4 * block_m * k + 2 * block_r * k) * 4
+        + 4 * 1024 * 1024,
+    )
+    q, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(
+        pairs.astype(jnp.int32),
+        tile_class.astype(jnp.int32),
+        col_end.astype(jnp.int32),
+        *tensor_args,
+    )
+    dist = rank_to_dist(
+        q.reshape(-1), sum_a2_sorted, sum_a_sorted,
+        criterion=criterion, so_mode=so_mode, s_max=s_max,
+        inv_norm=inv_norm, n=float(k),
+    )
+    return dist, idx.reshape(-1)
 
 
 @functools.partial(
