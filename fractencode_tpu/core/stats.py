@@ -60,11 +60,36 @@ def quadrant_sums(plane: jnp.ndarray, grid: Grid, ii: jnp.ndarray | None = None)
     Quadrant order matches the reference classifier's a1..a4 = top-left,
     top-right, bottom-left, bottom-right (``encode/Classifier2.cpp:55-61``,
     quadrant helpers ``image/partition2.hpp:19-30``).
+
+    Fast path: when the grid step is a multiple of the half-block (true for
+    the default range and domain grids and all quadtree levels), every needed
+    quadrant lies on the half-aligned non-overlapping tiling, so the sums are
+    a reshape-reduce plus four strided SLICES — no integral image, no gathers
+    (XLA gathers are ~10ns/element; this was the encode pipeline's second-
+    largest cost at 2K+).
     """
+    h, w = plane.shape
+    half = grid.block_size // 2
+    if (
+        half > 0
+        and grid.step % half == 0
+        and h % half == 0
+        and w % half == 0
+    ):
+        bs = block_sums_nonoverlapping(plane, half)  # [H/half, W/half]
+        k = grid.step // half
+        ny, nx = grid.ny, grid.nx
+
+        def pick(row0, col0):
+            v = bs[row0::k, col0::k][:ny, :nx]
+            return v.reshape(-1)
+
+        return jnp.stack(
+            [pick(0, 0), pick(0, 1), pick(1, 0), pick(1, 1)], axis=1
+        )
     if ii is None:
         ii = integral_image(plane)
     ox, oy = grid.origins()
-    half = grid.block_size // 2
     q = [
         _window_sums(ii, ox, oy, half, half),
         _window_sums(ii, ox + half, oy, half, half),
