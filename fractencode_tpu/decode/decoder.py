@@ -152,18 +152,27 @@ def decode_plane(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig()):
     init = jnp.full((h, w), dcfg.initial_value, dtype=jnp.uint8)
 
     def cond(carry):
-        img, steps, mse, done = carry
+        img, prev, steps, mse, done = carry
         return (steps < dcfg.max_iterations) & ~done
 
     def body(carry):
-        img, steps, _, _ = carry
+        img, prev, steps, _, _ = carry
         nxt = step(img)
         d = nxt.astype(jnp.float32) - img.astype(jnp.float32)
         mse = jnp.sum(d * d) / (h * w)
-        return nxt, steps + 1, mse, mse < dcfg.epsilon
+        # u8 truncation can trap the iteration in an exact period-2 cycle
+        # (a few pixels flip-flopping by +-1 forever; the reference would
+        # spin to max_iterations too, Encoder2.hpp:76-87).  Detect it by
+        # comparing with the iterate from two steps back and stop — either
+        # cycle state is a valid fixed-point rendering.
+        cycle = jnp.all(nxt == prev)
+        return nxt, img, steps + 1, mse, (mse < dcfg.epsilon) | cycle
 
-    img, steps, mse, done = jax.lax.while_loop(
-        cond, body, (init, jnp.int32(0), jnp.float32(jnp.inf), jnp.bool_(False))
+    # prev starts unequal to any first iterate (init ^ 1 flips every pixel)
+    img, _, steps, mse, done = jax.lax.while_loop(
+        cond, body,
+        (init, init ^ jnp.uint8(1), jnp.int32(0), jnp.float32(jnp.inf),
+         jnp.bool_(False)),
     )
     iterations = jnp.where(done, steps - 1, steps)
     return img, iterations, mse

@@ -353,23 +353,26 @@ def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
             init = jnp.full((h, w), initial_value, dtype=jnp.uint8)
 
             def cond(c):
-                return (c[1] < max_iterations) & ~c[3]
+                return (c[2] < max_iterations) & ~c[4]
 
             def step(c):
-                img, steps, _, _ = c
+                img, prev, steps, _, _ = c
                 nxt = _decode_step(img, idx, ss, oo, h, w, template.target_size)
                 d = nxt.astype(jnp.float32) - img.astype(jnp.float32)
                 mse = jnp.sum(d * d) / (h * w)
-                return nxt, steps + 1, mse, mse < epsilon
+                # period-2 cycle exit; see decode.decoder.decode_plane
+                cycle = jnp.all(nxt == prev)
+                return nxt, img, steps + 1, mse, (mse < epsilon) | cycle
 
             # the carry must carry the same varying-axes as the loop body's
             # outputs (which vary over 'data' through dom1/s1/o1)
             carry0 = jax.lax.pcast(
-                (init, jnp.int32(0), jnp.float32(jnp.inf), jnp.bool_(False)),
+                (init, init ^ jnp.uint8(1), jnp.int32(0),
+                 jnp.float32(jnp.inf), jnp.bool_(False)),
                 (DATA_AXIS,),
                 to="varying",
             )
-            img, steps, mse, _ = jax.lax.while_loop(cond, step, carry0)
+            img, _, steps, mse, _ = jax.lax.while_loop(cond, step, carry0)
             return img, steps, mse
 
         return jax.vmap(one)(dom_l, tr_l, s_l, o_l, valid_l)
