@@ -38,7 +38,7 @@ from ..core.grid import uniform_grid
 from ..core.stats import integral_image
 from ..params import DecoderConfig, EncoderConfig
 from .codebook import build_codebook, extract_ranges
-from .matcher import search, search_pallas
+from .matcher import search, search_pallas, search_pallas_classed
 
 __all__ = ["QuadtreeConfig", "QuadtreeResult", "encode_plane_quadtree",
            "decode_plane_quadtree"]
@@ -129,8 +129,13 @@ def _encode_level(plane, plane_f32, cfg: EncoderConfig, range_size: int,
     else:
         dcls = rcls = None
     if backend == "pallas":
-        res = search_pallas(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
-                            interpret=interpret)
+        if cfg.use_classifier and rcls is not None:
+            # class-blocked pair-list kernel: the prune is a real FLOP cut
+            res = search_pallas_classed(ranges, sum_a, sum_a2, cb, rcls, dcls,
+                                        cfg, interpret=interpret)
+        else:
+            res = search_pallas(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
+                                interpret=interpret)
     else:
         res = search(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg)
     err = _per_pixel_error(res, range_size * range_size, cfg.criterion,
@@ -266,16 +271,20 @@ def decode_plane_quadtree(result: QuadtreeResult,
     init = jnp.full((h, w), dcfg.initial_value, dtype=jnp.uint8)
 
     def cond(c):
-        return (c[1] < dcfg.max_iterations) & ~c[3]
+        return (c[2] < dcfg.max_iterations) & ~c[4]
 
     def body(c):
-        img, steps, _, _ = c
+        img, prev, steps, _, _ = c
         nxt = step(img)
         d = nxt.astype(jnp.float32) - img.astype(jnp.float32)
         mse = jnp.sum(d * d) / (h * w)
-        return nxt, steps + 1, mse, mse < dcfg.epsilon
+        # period-2 cycle exit; see decode.decoder.decode_plane
+        cycle = jnp.all(nxt == prev)
+        return nxt, img, steps + 1, mse, (mse < dcfg.epsilon) | cycle
 
-    img, steps, mse, done = jax.lax.while_loop(
-        cond, body, (init, jnp.int32(0), jnp.float32(jnp.inf), jnp.bool_(False))
+    img, _, steps, mse, done = jax.lax.while_loop(
+        cond, body,
+        (init, init ^ jnp.uint8(1), jnp.int32(0), jnp.float32(jnp.inf),
+         jnp.bool_(False)),
     )
     return img, jnp.where(done, steps - 1, steps), mse
