@@ -35,9 +35,21 @@ from ..core.grid import uniform_grid
 from ..core.stats import integral_image
 from ..encode.codebook import build_codebook, extract_ranges
 from ..encode.encoder import EncodeResult
-from ..encode.matcher import SearchResult, _BIG, search
+from ..encode.matcher import (
+    SearchResult,
+    _BIG,
+    search,
+    search_pallas,
+    search_pallas_classed,
+)
 from ..params import EncoderConfig
 from .mesh import DATA_AXIS, SEARCH_AXIS
+
+
+def _use_pallas(cfg: EncoderConfig) -> bool:
+    if cfg.backend == "pallas":
+        return True
+    return cfg.backend == "auto" and jax.default_backend() == "tpu"
 
 __all__ = [
     "encode_batch_sharded",
@@ -71,6 +83,17 @@ def _plane_search_arrays(plane, cfg: EncoderConfig, r_lo: int, r_count: int):
         domain_classes = None
         range_classes = None
 
+    if _use_pallas(cfg):
+        interpret = jax.default_backend() != "tpu"
+        if cfg.use_classifier and range_classes is not None:
+            return search_pallas_classed(
+                ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg,
+                interpret=interpret,
+            )
+        return search_pallas(
+            ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg,
+            interpret=interpret,
+        )
     return search(ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg)
 
 
@@ -97,14 +120,22 @@ def _encode_batch_impl(planes, cfg: EncoderConfig, mesh: Mesh, strategy: str):
             def one(plane):
                 return _result_tuple(_plane_search_arrays(plane, cfg, r_lo, r_per))
 
+            if _use_pallas(cfg):
+                # pallas_call (dynamic grid + scalar prefetch) doesn't vmap;
+                # stream local images through the kernel sequentially — same
+                # single-chip throughput pattern as encode_batch.
+                return jax.lax.map(one, planes_local)
             return jax.vmap(one)(planes_local)
 
         out_spec = tuple([P(DATA_AXIS, SEARCH_AXIS)] * 6)
+        # check_vma=False: pallas_call can't declare varying-axes metadata on
+        # its outputs, so the analysis can't type the Pallas-backend body.
         outs = shard_map(
             body,
             mesh=mesh,
             in_specs=(P(DATA_AXIS, None, None),),
             out_specs=out_spec,
+            check_vma=False,
         )(planes)
 
     elif strategy == "domains":

@@ -42,6 +42,24 @@ def test_sharded_encode_matches_single_device(rng, devices_ok, strategy):
         )
 
 
+def test_sharded_encode_pallas_backend(rng, devices_ok):
+    """The 'ranges' strategy with the Pallas kernel (interpreted on CPU):
+    validates the kernel's dynamic-grid pair list inside shard_map+lax.map —
+    the real-pod hot path."""
+    cfg = EncoderConfig(source_size=16, target_size=4, backend="pallas")
+    imgs = _images(rng, b=2, n=64)
+    mesh = make_mesh(n_data=2, n_search=4)
+    results = encode_batch_sharded(imgs, cfg, mesh, strategy="ranges")
+    for i in range(2):
+        single = encode_plane(imgs[i], cfg)
+        np.testing.assert_array_equal(
+            np.asarray(results[i].domain_idx), np.asarray(single.domain_idx)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(results[i].transform), np.asarray(single.transform)
+        )
+
+
 def test_sharded_decode_matches_single_device(rng, devices_ok):
     cfg = EncoderConfig()
     imgs = _images(rng, b=2, n=64)
