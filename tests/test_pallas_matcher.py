@@ -128,3 +128,32 @@ def test_classed_kernel_lenna(lenna_y):
     np.testing.assert_array_equal(
         np.asarray(kernel.transform), np.asarray(oracle.transform)
     )
+
+
+def test_classed_fallback_on_pair_cap_overflow(rng, monkeypatch):
+    """When the class distribution overflows the pair-list SMEM budget, the
+    lax.cond fallback must run the 2-D classed kernel and produce identical
+    results.  PAIR_CAP is patched tiny so the overflow branch is reachable
+    on a small image (matcher re-reads it per call)."""
+    from fractencode_tpu.encode import matcher as M
+    from fractencode_tpu.ops import matcher_pallas as MP
+
+    cfg = EncoderConfig()
+    args = _setup(rng, 64, cfg)
+    ranges, sum_a, sum_a2, cb, rcls, dcls = args
+    oracle = search(*args, cfg)
+
+    monkeypatch.setattr(MP, "PAIR_CAP", 4)  # force n_pairs > p_cap
+    M.search_pallas_classed.clear_cache()
+    try:
+        kernel = M.search_pallas_classed(
+            ranges, sum_a, sum_a2, cb, rcls, dcls, cfg, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(kernel.domain_idx), np.asarray(oracle.domain_idx)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(kernel.transform), np.asarray(oracle.transform)
+        )
+    finally:
+        M.search_pallas_classed.clear_cache()
