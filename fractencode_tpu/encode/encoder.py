@@ -151,7 +151,10 @@ def _encode_plane_arrays(plane: jnp.ndarray, cfg: EncoderConfig):
 def _encode_batch_impl(planes: jnp.ndarray, cfg: EncoderConfig):
     # lax.map: images stream through the (Pallas) search sequentially on the
     # device — one dispatch for the whole batch, kernels stay busy back to
-    # back (single-chip throughput mode, BASELINE config 5's per-chip lane).
+    # back (single-chip throughput mode, BASELINE config 5's per-chip lane),
+    # and only one frame's prep arrays are live at a time.  (A vmapped-prep
+    # variant was measured equal at 512^2 batch-16 but holds B frames'
+    # sorted/padded codebooks in HBM simultaneously — strictly worse.)
     return jax.lax.map(lambda p: _encode_plane_arrays(p, cfg), planes)
 
 

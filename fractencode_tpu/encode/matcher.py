@@ -210,46 +210,29 @@ def _class_layout(classes01: jnp.ndarray, block: int):
     return pos, seg_start8, counts8, tile_cum.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
-def search_pallas_classed(
-    ranges: jnp.ndarray,
-    sum_a: jnp.ndarray,
-    sum_a2: jnp.ndarray,
-    cb: Codebook,
-    range_classes: jnp.ndarray,
-    domain_classes: jnp.ndarray,
-    cfg: EncoderConfig,
-    interpret: bool = False,
-) -> SearchResult:
-    """Class-blocked Pallas backend: the classifier's equality prune becomes
-    a real FLOP reduction.  Ranges and codebook columns are laid out sorted
-    by class bin into tile-aligned segments, and each range tile's grid walk
-    visits only its own class's column tiles (``fused_search_classed``).
-
-    Selection semantics are identical to ``search_pallas`` with a classifier:
-    only same-bin pairs compete, reference tie-break order preserved (column
-    order within a class stays (domain asc, transform desc) because the
-    class sort is stable).
-    """
-    from ..ops.matcher_pallas import (
-        DEFAULT_BM,
-        DEFAULT_BR,
-        INT8_MAX_K,
-        PAIR_CAP,
-        _pack_pairs,
-        fused_search_classed,
-        fused_search_pairs,
-        rank_mode,
-    )
-
-    r, k = ranges.shape
-    d, t, _ = cb.values.shape
-    m = d * t
+def _classed_statics(r: int, m: int, cfg: EncoderConfig):
+    """Static (python-int) layout parameters shared by prep/kernel/post."""
+    from ..ops.matcher_pallas import DEFAULT_BM, DEFAULT_BR, PAIR_CAP
 
     block_r = min(DEFAULT_BR, _round_up(r, 8))
     block_m = min(DEFAULT_BM, _round_up(m, 128))
     r_pad = _round_up(r, block_r) + _NUM_CLASS_BINS * block_r
     m_pad = _round_up(m, block_m) + _NUM_CLASS_BINS * block_m
+    worst_pairs = (r_pad // block_r) * (m_pad // block_m) + r_pad // block_r
+    p_cap = min(worst_pairs, PAIR_CAP)
+    return block_r, block_m, r_pad, m_pad, worst_pairs, p_cap
+
+
+def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
+                 domain_classes, cfg: EncoderConfig):
+    """Class-sorted layout + active-pair list (pure jnp, vmappable): every
+    array the classed kernel consumes, plus the inverse maps post needs."""
+    from ..ops.matcher_pallas import _pack_pairs, rank_mode
+
+    r, k = ranges.shape
+    d, t, _ = cb.values.shape
+    m = d * t
+    block_r, block_m, r_pad, m_pad, worst_pairs, p_cap = _classed_statics(r, m, cfg)
 
     rcls01 = (range_classes + 1).astype(jnp.int32)  # bins -1..5 -> 0..6
     ccls01 = jnp.repeat((domain_classes + 1).astype(jnp.int32), t)
@@ -295,14 +278,57 @@ def search_pallas_classed(
     col_tile_count = -(-c_counts // block_m)  # [8] ceil
     col_end = c_seg_start + c_counts  # [8] first invalid sorted index
 
+    # Active-pair list: grid over exactly the (range tile, col tile) pairs
+    # the classifier keeps (dynamic length), instead of the worst-case 2-D
+    # grid with predicated-off steps.  Every tile gets >= 1 pair (a dummy
+    # when its class has no columns) so its output block is initialized.
+    counts_t = col_tile_count[tile_class]  # [nrt]
+    counts_eff = jnp.maximum(counts_t, 1)
+    off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_eff).astype(jnp.int32)]
+    )
+    n_pairs = off[-1]
+    p_ids = jnp.arange(p_cap, dtype=jnp.int32)
+    rt = jnp.searchsorted(off[1:], p_ids, side="right").astype(jnp.int32)
+    rt = jnp.minimum(rt, nrt - 1)
+    jj = p_ids - off[rt]
+    valid_p = p_ids < n_pairs
+    cnt = counts_t[rt]
+    compute = valid_p & (jj < cnt)
+    first = valid_p & (jj == 0)
+    ct = col_tile_start[tile_class[rt]] + jnp.minimum(jj, jnp.maximum(cnt - 1, 0))
+    pairs = _pack_pairs(rt, jnp.maximum(ct, 0), first, compute)
+
+    return dict(
+        ranges_s=ranges_s, sa_s=sa_s, sa2_s=sa2_s,
+        cb_s=cb_s, sb_s=sb_s, aux_s=aux_s,
+        pairs=pairs, n_pairs=n_pairs,
+        tile_class=tile_class, col_tile_start=col_tile_start,
+        col_tile_count=col_tile_count, col_end=col_end,
+        rpos=rpos, inv_col=inv_col,
+    )
+
+
+def classed_kernel(prep: dict, k: int, domain_area: int, block_r: int,
+                   block_m: int, p_cap: int, worst_pairs: int,
+                   cfg: EncoderConfig, interpret: bool):
+    """Run the Pallas search on prepped arrays: the pair-list kernel, with a
+    lax.cond fallback to the 2-D classed kernel when a degenerate class
+    distribution overflows the pair budget (only reachable at 4K+).
+    Returns (dist_s, idx_s) in the sorted layout."""
+    from ..ops.matcher_pallas import (
+        INT8_MAX_K,
+        PAIR_CAP,
+        fused_search_classed,
+        fused_search_pairs,
+    )
+
     common = dict(
         criterion=cfg.criterion,
         so_mode=cfg.so_mode,
         s_max=cfg.s_max,
         inv_norm=(
-            1.0 / (cb.grid.block_size ** 2)
-            if cfg.criterion == "raw"
-            else 1.0 / k
+            1.0 / domain_area if cfg.criterion == "raw" else 1.0 / k
         ),
         block_r=block_r,
         block_m=block_m,
@@ -310,55 +336,43 @@ def search_pallas_classed(
         interpret=interpret,
     )
 
-    # Active-pair list: grid over exactly the (range tile, col tile) pairs
-    # the classifier keeps (dynamic length), instead of the worst-case 2-D
-    # grid with predicated-off steps.  Every tile gets >= 1 pair (a dummy
-    # when its class has no columns) so its output block is initialized.
-    max_tiles = m_pad // block_m
-    counts_t = col_tile_count[tile_class]  # [nrt]
-    counts_eff = jnp.maximum(counts_t, 1)
-    off = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_eff).astype(jnp.int32)]
-    )
-    n_pairs = off[-1]
-    worst_pairs = nrt * max_tiles + nrt
-    p_cap = min(worst_pairs, PAIR_CAP)
-
     def _pairs_path():
-        p_ids = jnp.arange(p_cap, dtype=jnp.int32)
-        rt = jnp.searchsorted(off[1:], p_ids, side="right").astype(jnp.int32)
-        rt = jnp.minimum(rt, nrt - 1)
-        jj = p_ids - off[rt]
-        valid_p = p_ids < n_pairs
-        cnt = counts_t[rt]
-        compute = valid_p & (jj < cnt)
-        first = valid_p & (jj == 0)
-        ct = col_tile_start[tile_class[rt]] + jnp.minimum(
-            jj, jnp.maximum(cnt - 1, 0)
-        )
-        pairs = _pack_pairs(rt, jnp.maximum(ct, 0), first, compute)
         return fused_search_pairs(
-            ranges_s, sa_s, sa2_s, cb_s, sb_s, aux_s,
-            pairs, n_pairs, tile_class, col_end,
+            prep["ranges_s"], prep["sa_s"], prep["sa2_s"],
+            prep["cb_s"], prep["sb_s"], prep["aux_s"],
+            prep["pairs"], prep["n_pairs"], prep["tile_class"],
+            prep["col_end"],
             p_cap=p_cap, **common,
         )
 
     def _classed_path():
         return fused_search_classed(
-            ranges_s, sa_s, sa2_s, cb_s, sb_s, aux_s,
-            tile_class, col_tile_start, col_tile_count, col_end,
+            prep["ranges_s"], prep["sa_s"], prep["sa2_s"],
+            prep["cb_s"], prep["sb_s"], prep["aux_s"],
+            prep["tile_class"], prep["col_tile_start"],
+            prep["col_tile_count"], prep["col_end"],
             **common,
         )
 
     if worst_pairs <= PAIR_CAP:
         # the pair list can always hold every pair: no fallback needed
-        dist_s, idx_s = _pairs_path()
-    else:
-        # data-dependent overflow (very skewed class distributions at 4K+):
-        # compile both, execute the one that fits at runtime
-        dist_s, idx_s = jax.lax.cond(
-            n_pairs <= p_cap, _pairs_path, _classed_path
-        )
+        return _pairs_path()
+    # data-dependent overflow (very skewed class distributions at 4K+):
+    # compile both, execute the one that fits at runtime
+    return jax.lax.cond(prep["n_pairs"] <= p_cap, _pairs_path, _classed_path)
+
+
+def classed_post(dist_s, idx_s, rpos, inv_col, ranges, sum_a, sum_a2,
+                 cb: Codebook, cfg: EncoderConfig) -> SearchResult:
+    """Map sorted-layout kernel outputs back to original range order and
+    solve (s, o) for the winners (pure jnp, vmappable)."""
+    r, k = ranges.shape
+    d, t, _ = cb.values.shape
+    m = d * t
+    m_pad = inv_col.shape[0]
+    cb_cols = cb.values[:, ::-1, :].reshape(m, k)
+    sb = cb.sum[:, ::-1].reshape(m)
+    sb2 = cb.sum_sq[:, ::-1].reshape(m)
 
     dist = dist_s[rpos]  # [R]
     win_sorted = idx_s[rpos]
@@ -382,6 +396,45 @@ def search_pallas_classed(
         o=o,
         valid=valid,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def search_pallas_classed(
+    ranges: jnp.ndarray,
+    sum_a: jnp.ndarray,
+    sum_a2: jnp.ndarray,
+    cb: Codebook,
+    range_classes: jnp.ndarray,
+    domain_classes: jnp.ndarray,
+    cfg: EncoderConfig,
+    interpret: bool = False,
+) -> SearchResult:
+    """Class-blocked Pallas backend: the classifier's equality prune becomes
+    a real FLOP reduction.  Ranges and codebook columns are laid out sorted
+    by class bin into tile-aligned segments, and each range tile visits only
+    its own class's column tiles (``fused_search_pairs``).
+
+    Selection semantics are identical to ``search_pallas`` with a classifier:
+    only same-bin pairs compete, reference tie-break order preserved (column
+    order within a class stays (domain asc, transform desc) because the
+    class sort is stable).
+
+    Split into ``classed_prep`` / ``classed_kernel`` / ``classed_post`` so
+    batch mode can vmap the jnp stages and lax.map only the kernel.
+    """
+    r, k = ranges.shape
+    d, t, _ = cb.values.shape
+    m = d * t
+    block_r, block_m, _, _, worst_pairs, p_cap = _classed_statics(r, m, cfg)
+
+    prep = classed_prep(ranges, sum_a, sum_a2, cb, range_classes,
+                        domain_classes, cfg)
+    dist_s, idx_s = classed_kernel(
+        prep, k, cb.grid.block_size ** 2, block_r, block_m, p_cap,
+        worst_pairs, cfg, interpret,
+    )
+    return classed_post(dist_s, idx_s, prep["rpos"], prep["inv_col"],
+                        ranges, sum_a, sum_a2, cb, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))

@@ -117,3 +117,24 @@ def test_encode_batch_matches_single(rng):
         np.testing.assert_array_equal(
             np.asarray(batch[i].transform), np.asarray(single.transform)
         )
+
+
+def test_encode_batch_pallas_matches_single(rng):
+    """Batch throughput mode with the Pallas backend (interpreted on CPU):
+    vmapped prep/post around the lax.map'd kernel must match per-plane."""
+    from fractencode_tpu.encode import encode_batch
+
+    cfg = EncoderConfig(backend="pallas")
+    imgs = rng.integers(0, 256, size=(3, 64, 64), dtype=np.uint8)
+    batch = encode_batch(imgs, cfg)
+    for i in range(3):
+        single = encode_plane(imgs[i], cfg)
+        np.testing.assert_array_equal(
+            np.asarray(batch[i].domain_idx), np.asarray(single.domain_idx)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batch[i].transform), np.asarray(single.transform)
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch[i].s), np.asarray(single.s), atol=1e-6
+        )
