@@ -157,3 +157,28 @@ def test_classed_fallback_on_pair_cap_overflow(rng, monkeypatch):
         )
     finally:
         M.search_pallas_classed.clear_cache()
+
+
+def test_int8_path_bit_identical_at_k64(rng):
+    """K=64 (8x8 ranges) is the largest contraction where the int8 SumAB
+    decomposition is exact (INT8_MAX_K); winners and distances must be
+    bit-identical to the f32 kernel there."""
+    cfg8 = EncoderConfig(source_size=32, target_size=8, int8_matmul=True)
+    cfgf = EncoderConfig(source_size=32, target_size=8, int8_matmul=False)
+    args = _setup(rng, 128, cfg8)
+    ranges, sum_a, sum_a2, cb, rcls, dcls = args
+    from fractencode_tpu.encode.matcher import search_pallas_classed
+
+    k8 = search_pallas_classed(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg8,
+                               interpret=True)
+    kf = search_pallas_classed(ranges, sum_a, sum_a2, cb, rcls, dcls, cfgf,
+                               interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(k8.domain_idx), np.asarray(kf.domain_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(k8.transform), np.asarray(kf.transform)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(k8.distance), np.asarray(kf.distance)
+    )
