@@ -32,7 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--color", action="store_true", help="encode all 3 YUV planes")
     p.add_argument("--debug_decode", action="store_true", help="dump decode iterates")
     p.add_argument("--noclassifier", action="store_true")
-    p.add_argument("--log", action="store_true", help="verbose progress")
+    p.add_argument("--log", action="store_true",
+                   help="per-phase wall-clock timing + progress reporting")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler device trace into DIR")
     p.add_argument("--quadtree", action="store_true",
                    help="adaptive quadtree ranges (the reference parsed this "
                         "flag but never implemented it)")
@@ -72,19 +75,22 @@ def _config_from_args(args):
     return EncoderConfig(criterion=args.criterion, so_mode=args.so_mode, **kw)
 
 
-def _encode_one_quadtree(plane, args, cfg, dcfg, label=""):
+def _encode_one_quadtree(plane, args, cfg, dcfg, label="", timer=None):
     from .core.metrics import psnr
     from .encode.quadtree import (
         QuadtreeConfig,
         decode_plane_quadtree,
         encode_plane_quadtree,
     )
+    from .utils.progress import NullReporter, StdoutReporter
 
+    reporter = StdoutReporter() if args.log else NullReporter()
     qcfg = QuadtreeConfig(min_size=args.qt_min, max_size=args.qt_max,
                           error_threshold=args.qt_threshold)
     t0 = time.perf_counter()
-    res = encode_plane_quadtree(plane, cfg, qcfg)
-    res.levels[0].domain_idx.block_until_ready()
+    with _maybe_phase(timer, f"encode{label}"):
+        res = encode_plane_quadtree(plane, cfg, qcfg, reporter=reporter)
+        res.levels[0].domain_idx.block_until_ready()
     t1 = time.perf_counter()
     print(f"encoded{label} in {t1 - t0:.4g} s.")
     leaves = [int(np.asarray(l.accepted).sum()) for l in res.levels]
@@ -92,8 +98,9 @@ def _encode_one_quadtree(plane, args, cfg, dcfg, label=""):
           + " ".join(f"{l.range_size}px:{n}" for l, n in zip(res.levels, leaves)))
 
     t0 = time.perf_counter()
-    out, iters, mse = decode_plane_quadtree(res, dcfg)
-    out.block_until_ready()
+    with _maybe_phase(timer, f"decode{label}"):
+        out, iters, mse = decode_plane_quadtree(res, dcfg)
+        out.block_until_ready()
     t1 = time.perf_counter()
     print(f"decoded{label} in {t1 - t0:.4g} s.")
     print(f"decode stats: {int(iters)} steps, rms: {float(mse):.6g}")
@@ -101,29 +108,38 @@ def _encode_one_quadtree(plane, args, cfg, dcfg, label=""):
     return res, np.asarray(out)
 
 
-def _encode_one(plane, args, cfg, dcfg, label=""):
+def _maybe_phase(timer, name):
+    """Timer phase context, or a no-op when --log is off."""
+    import contextlib
+
+    return timer.phase(name) if timer is not None else contextlib.nullcontext()
+
+
+def _encode_one(plane, args, cfg, dcfg, label="", timer=None):
     from .core.metrics import psnr
     from .decode import decode_plane, decode_steps_py
     from .encode import encode_plane
 
     if args.quadtree:
-        return _encode_one_quadtree(plane, args, cfg, dcfg, label)
+        return _encode_one_quadtree(plane, args, cfg, dcfg, label, timer=timer)
 
     t0 = time.perf_counter()
-    res = encode_plane(plane, cfg)
-    res.domain_idx.block_until_ready()
+    with _maybe_phase(timer, f"encode{label}"):
+        res = encode_plane(plane, cfg)
+        res.domain_idx.block_until_ready()
     t1 = time.perf_counter()
     print(f"encoded{label} in {t1 - t0:.4g} s.")
     print(f"{res.num_ranges} elements.")
     if cfg.use_classifier:
         # classifier rejection statistics (cf. encode_stats_t::print,
-        # Encoder2.hpp:21-23)
+        # Encoder2.hpp:21-23) — O(R + D) via class histograms
         from .core.classify import classify_grid
+        from .encode.encoder import encode_stats
 
         rcls = np.asarray(classify_grid(plane, res.range_grid))
         dcls = np.asarray(classify_grid(plane, res.domain_grid))
-        total = len(rcls) * len(dcls)
-        rejected = int((rcls[:, None] != dcls[None, :]).sum())
+        st = encode_stats(res, rcls, dcls)
+        total, rejected = st["total_mappings"], st["rejected_mappings"]
         print(
             f"classifier rejected {rejected} out of {total} comparisons "
             f"({100.0 * rejected / total:.4g})%"
@@ -131,13 +147,16 @@ def _encode_one(plane, args, cfg, dcfg, label=""):
 
     if args.debug_decode:
         from .image import save_plane
+        from .utils.progress import StdoutReporter
 
-        for i, img in decode_steps_py(res, dcfg):
+        rep = StdoutReporter() if args.log else None
+        for i, img in decode_steps_py(res, dcfg, reporter=rep):
             save_plane(np.asarray(img), f"decode_debug{i}.png")
 
     t0 = time.perf_counter()
-    out, iters, mse = decode_plane(res, dcfg)
-    out.block_until_ready()
+    with _maybe_phase(timer, f"decode{label}"):
+        out, iters, mse = decode_plane(res, dcfg)
+        out.block_until_ready()
     t1 = time.perf_counter()
     print(f"decoded{label} in {t1 - t0:.4g} s.")
     print(f"decode stats: {int(iters)} steps, rms: {float(mse):.6g}")
@@ -210,18 +229,31 @@ def main(argv=None) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)  # cf. main.cpp:99-102
         return 2
+    from .utils.profiling import PhaseTimer, device_trace
+
+    timer = PhaseTimer() if args.log else None
+    trace = device_trace(args.profile) if args.profile else None
+
     total0 = time.perf_counter()
-    y, u, v = load_planes(args.input)
-    if args.color:
-        res_y, out_y = _encode_one(y, args, cfg, dcfg, " [Y]")
-        res_u, out_u = _encode_one(u, args, cfg, dcfg, " [U]")
-        res_v, out_v = _encode_one(v, args, cfg, dcfg, " [V]")
-        save_yuv(out_y, out_u, out_v, args.result)
-        results = [(res_y, y), (res_u, u), (res_v, v)]
-    else:
-        res, out = _encode_one(y, args, cfg, dcfg)
-        save_plane(out, args.result)
-        results = [(res, y)]
+    with _maybe_phase(timer, "load"):
+        y, u, v = load_planes(args.input)
+    if trace is not None:
+        trace.__enter__()
+    try:
+        if args.color:
+            res_y, out_y = _encode_one(y, args, cfg, dcfg, " [Y]", timer=timer)
+            res_u, out_u = _encode_one(u, args, cfg, dcfg, " [U]", timer=timer)
+            res_v, out_v = _encode_one(v, args, cfg, dcfg, " [V]", timer=timer)
+            save_yuv(out_y, out_u, out_v, args.result)
+            results = [(res_y, y), (res_u, u), (res_v, v)]
+        else:
+            res, out = _encode_one(y, args, cfg, dcfg, timer=timer)
+            save_plane(out, args.result)
+            results = [(res, y)]
+    finally:
+        if trace is not None:
+            trace.__exit__(None, None, None)
+            print(f"profile trace written to {args.profile}")
 
     if args.out:
         from .codec import pack_result
@@ -238,6 +270,9 @@ def main(argv=None) -> int:
         raw = y.size * (3 if args.color else 1)
         print(f"bitstream: {len(blob)} bytes ({raw / max(len(blob), 1):.1f}x)")
 
+    if timer is not None:
+        print("-- phases --")
+        print(timer.report())
     print(f"total time: {time.perf_counter() - total0:.4g} s.")
     return 0
 

@@ -178,7 +178,8 @@ def decode_plane(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig()):
     return img, iterations, mse
 
 
-def decode_steps_py(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig()):
+def decode_steps_py(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig(),
+                    reporter=None):
     """Python-loop decode yielding every iterate (for --debug_decode dumps,
     cf. ``Encoder2.hpp:74-82``). Yields (step_index, u8 image)."""
     h, w = result.height, result.width
@@ -196,7 +197,11 @@ def decode_steps_py(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig())
         nxt = step(img)
         d = np.asarray(nxt, dtype=np.float32) - np.asarray(img, dtype=np.float32)
         mse = float((d * d).sum()) / (h * w)
+        if reporter is not None:
+            reporter.log(i + 1, dcfg.max_iterations)
         yield i + 1, nxt
         if mse < dcfg.epsilon:
+            if reporter is not None:
+                reporter.log(dcfg.max_iterations, dcfg.max_iterations)
             return
         img = nxt

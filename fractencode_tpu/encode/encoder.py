@@ -177,11 +177,19 @@ def encode_batch(planes, cfg: EncoderConfig | None = None) -> list[EncodeResult]
 
 def encode_stats(result: EncodeResult, range_classes=None, domain_classes=None):
     """Classifier rejection statistics (cf. ``encode_stats_t``,
-    ``Encoder2.hpp:17-24``): rejected / total comparisons."""
+    ``Encoder2.hpp:17-24``): rejected / total comparisons.
+
+    O(R + D): a pair is rejected iff the class bins differ, so
+    ``rejected = R*D - sum_c R_c * D_c`` over the 7 class histograms — never
+    materialize the [R, D] comparison matrix (17 GB of host bools at 2048^2).
+    """
+    import numpy as np
+
     total = result.num_ranges * result.domain_grid.num_items
     if range_classes is None or domain_classes is None:
         return dict(total_mappings=total, rejected_mappings=0)
-    rejected = int(
-        (range_classes[:, None] != domain_classes[None, :]).sum()
-    )
+    # bins -1..5 -> 0..6
+    rh = np.bincount(np.asarray(range_classes).ravel() + 1, minlength=7)
+    dh = np.bincount(np.asarray(domain_classes).ravel() + 1, minlength=7)
+    rejected = int(total - int((rh.astype(np.int64) * dh.astype(np.int64)).sum()))
     return dict(total_mappings=total, rejected_mappings=rejected)

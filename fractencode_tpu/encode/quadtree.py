@@ -150,7 +150,7 @@ def _upsample_mask(mask2d: jnp.ndarray) -> jnp.ndarray:
 
 
 def _encode_quadtree_impl(plane, cfg: EncoderConfig, qcfg: QuadtreeConfig,
-                          backend: str, interpret: bool):
+                          backend: str, interpret: bool, reporter=None):
     """Per-level jitted encodes + a tiny jitted selection cascade.
 
     Deliberately NOT one fused jit over the whole pyramid: each level's
@@ -194,11 +194,17 @@ def _encode_quadtree_impl(plane, cfg: EncoderConfig, qcfg: QuadtreeConfig,
         )
         if not is_last:
             covered = _upsample_mask(covered)
+        if reporter is not None:
+            # per-level progress: the host-visible step boundary of the
+            # pyramid (the reference reports from inside its work queue,
+            # EncodingEngine2.hpp:138; here each level is one device program)
+            reporter.log(i + 1, len(sizes))
     return levels
 
 
 def encode_plane_quadtree(plane, cfg: EncoderConfig | None = None,
-                          qcfg: QuadtreeConfig | None = None) -> QuadtreeResult:
+                          qcfg: QuadtreeConfig | None = None,
+                          reporter=None) -> QuadtreeResult:
     """Adaptive-depth encode: coarse blocks where they fit, fine where needed."""
     cfg = cfg or EncoderConfig()
     qcfg = qcfg or QuadtreeConfig()
@@ -210,7 +216,8 @@ def encode_plane_quadtree(plane, cfg: EncoderConfig | None = None,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     interpret = jax.default_backend() != "tpu"
-    levels = _encode_quadtree_impl(plane, cfg, qcfg, backend, interpret)
+    levels = _encode_quadtree_impl(plane, cfg, qcfg, backend, interpret,
+                                   reporter=reporter)
     return QuadtreeResult(levels=levels, width=w, height=h)
 
 

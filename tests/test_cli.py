@@ -78,3 +78,42 @@ def test_garbage_bitstream(tmp_path, capsys):
 def test_no_input(tmp_path, capsys):
     rc = _run([], tmp_path)
     assert rc == 2
+
+def test_log_flag_prints_phases(small_png, tmp_path, capsys):
+    rc = _run([small_png, "--log", "--result", str(tmp_path / "l.png")], tmp_path)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "-- phases --" in out and "encode:" in out and "decode:" in out
+
+
+def test_color_flag_end_to_end(small_png, tmp_path, capsys):
+    rc = _run([small_png, "--color", "--result", str(tmp_path / "rgb.png"),
+               "--out", str(tmp_path / "c3.ftc")], tmp_path)
+    assert rc == 0
+    out = capsys.readouterr().out
+    # three per-plane encodes reported
+    assert "[Y]" in out and "[U]" in out and "[V]" in out
+    img = np.asarray(Image.open(tmp_path / "rgb.png"))
+    assert img.shape == (64, 64, 3)
+
+
+def test_rejection_stats_histogram(small_png, tmp_path, capsys):
+    """The CLI's rejection count must equal the brute-force [R, D] count
+    (computed here on a small image; the CLI path must be O(R + D))."""
+    rc = _run([small_png, "--result", str(tmp_path / "s.png")], tmp_path)
+    assert rc == 0
+    out = capsys.readouterr().out
+    import re
+
+    m = re.search(r"classifier rejected (\d+) out of (\d+)", out)
+    assert m, out
+    from fractencode_tpu.core.classify import classify_grid
+    from fractencode_tpu.core.grid import uniform_grid
+    from fractencode_tpu.image import load_gray
+
+    plane = load_gray(small_png)
+    rcls = np.asarray(classify_grid(plane, uniform_grid(64, 64, 4, 4)))
+    dcls = np.asarray(classify_grid(plane, uniform_grid(64, 64, 16, 8)))
+    brute = int((rcls[:, None] != dcls[None, :]).sum())
+    assert int(m.group(1)) == brute
+    assert int(m.group(2)) == len(rcls) * len(dcls)
