@@ -48,6 +48,12 @@ class SearchResult:
     s: jnp.ndarray  # f32 contrast
     o: jnp.ndarray  # f32 brightness
     valid: jnp.ndarray  # bool — False if the classifier rejected every domain
+    # f32 MAXIMIZED rank key q of the winner (see ops.matcher_pallas.rank_mode),
+    # or None.  Sharded reducers compare q, not distance: distance saturates
+    # (e.g. 'ls' clamps at 0 for flat ranges) so equal distances can hide
+    # different keys, and only the key reproduces the single-device
+    # first-occurrence tie-break bitwise across shards.
+    key: jnp.ndarray | None = None
 
 
 def solve_so(sum_a, sum_a2, sum_b, sum_b2, sum_ab, n: float, so_mode: str, s_max: float):
@@ -177,65 +183,85 @@ def _round_up(x: int, m: int) -> int:
 _NUM_CLASS_BINS = 7  # classifier bins -1..5 shifted to 0..6; 7 = padding
 
 
-def _class_layout(classes01: jnp.ndarray, block: int):
-    """Tile-aligned class-sorted layout for ``n`` items in classes 0..6.
+def _class_layout(classes01: jnp.ndarray, block: int,
+                  num_bins: int = _NUM_CLASS_BINS):
+    """Tile-aligned class-sorted layout for ``n`` items in classes
+    0..num_bins-1.
 
     Returns (pos [n] i32 destination of each item in the padded buffer,
-    seg_start [8] i32 first padded index of each class, counts [8] i32,
-    tile_boundaries [7] i32 cumulative tile counts — tile t belongs to class
-    searchsorted(boundaries, t, 'right')).
+    seg_start [num_bins+1] i32 first padded index of each class,
+    counts [num_bins+1] i32, tile_boundaries [num_bins] i32 cumulative tile
+    counts — tile t belongs to class searchsorted(boundaries, t, 'right')).
 
     All shapes static: the padded buffer has ``n_pad`` slots
-    (= round_up(n, block) + 7*block covers the worst per-class alignment
-    waste).
+    (= round_up(n, block) + num_bins*block covers the worst per-class
+    alignment waste).
     """
-    # Counting sort (7 fixed bins): per-class running rank via a cumsum over
+    # Counting sort (fixed bins): per-class running rank via a cumsum over
     # the one-hot class matrix — no argsort (a stable 1M-key sort was ~2/3 of
     # the layout cost), no scatter (pos is computed directly per item).
     onehot = (
-        classes01[:, None] == jnp.arange(_NUM_CLASS_BINS, dtype=classes01.dtype)
-    ).astype(jnp.int32)  # [n, 7]
+        classes01[:, None] == jnp.arange(num_bins, dtype=classes01.dtype)
+    ).astype(jnp.int32)  # [n, num_bins]
     csum = jnp.cumsum(onehot, axis=0)  # inclusive per-class counts
-    counts = csum[-1]  # [7]
+    counts = csum[-1]  # [num_bins]
     tiles = -(-counts // block)  # ceil
-    tile_cum = jnp.cumsum(tiles)  # [7]
+    tile_cum = jnp.cumsum(tiles)  # [num_bins]
     seg_start_t = jnp.concatenate([jnp.zeros(1, tiles.dtype), tile_cum[:-1]])
-    seg_start = (seg_start_t * block).astype(jnp.int32)  # [7] element units
+    seg_start = (seg_start_t * block).astype(jnp.int32)  # element units
 
     rank = jnp.take_along_axis(csum, classes01[:, None], axis=1)[:, 0] - 1
     pos = seg_start[classes01] + rank.astype(jnp.int32)
 
-    seg_start8 = jnp.concatenate([seg_start, jnp.zeros(1, jnp.int32)])
-    counts8 = jnp.concatenate([counts.astype(jnp.int32), jnp.zeros(1, jnp.int32)])
-    return pos, seg_start8, counts8, tile_cum.astype(jnp.int32)
+    seg_start1 = jnp.concatenate([seg_start, jnp.zeros(1, jnp.int32)])
+    counts1 = jnp.concatenate([counts.astype(jnp.int32), jnp.zeros(1, jnp.int32)])
+    return pos, seg_start1, counts1, tile_cum.astype(jnp.int32)
 
 
-def _classed_statics(r: int, m: int, cfg: EncoderConfig):
-    """Static (python-int) layout parameters shared by prep/kernel/post."""
+def _classed_statics(r: int, m: int, cfg: EncoderConfig,
+                     masked_domains: bool = False):
+    """Static (python-int) layout parameters shared by prep/kernel/post.
+
+    ``masked_domains`` reserves one extra column bin for classifier-valid but
+    geometry-masked domain columns (sharded tail padding / off-image rows):
+    bin 7 holds them, no range tile ever points at it.
+    """
     from ..ops.matcher_pallas import DEFAULT_BM, DEFAULT_BR, PAIR_CAP
 
+    n_col_bins = _NUM_CLASS_BINS + (1 if masked_domains else 0)
     block_r = min(DEFAULT_BR, _round_up(r, 8))
     block_m = min(DEFAULT_BM, _round_up(m, 128))
     r_pad = _round_up(r, block_r) + _NUM_CLASS_BINS * block_r
-    m_pad = _round_up(m, block_m) + _NUM_CLASS_BINS * block_m
+    m_pad = _round_up(m, block_m) + n_col_bins * block_m
     worst_pairs = (r_pad // block_r) * (m_pad // block_m) + r_pad // block_r
     p_cap = min(worst_pairs, PAIR_CAP)
     return block_r, block_m, r_pad, m_pad, worst_pairs, p_cap
 
 
 def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
-                 domain_classes, cfg: EncoderConfig):
+                 domain_classes, cfg: EncoderConfig, domain_mask=None):
     """Class-sorted layout + active-pair list (pure jnp, vmappable): every
-    array the classed kernel consumes, plus the inverse maps post needs."""
+    array the classed kernel consumes, plus the inverse maps post needs.
+
+    ``domain_mask`` ([D] bool or None): False marks geometry-invalid domains
+    (sharded tail padding, off-image halo rows).  Their columns are parked in
+    the reserved bin ``_NUM_CLASS_BINS`` which no range tile ever visits, so
+    they cost zero kernel steps and can never win.
+    """
     from ..ops.matcher_pallas import _pack_pairs, rank_mode
 
     r, k = ranges.shape
     d, t, _ = cb.values.shape
     m = d * t
-    block_r, block_m, r_pad, m_pad, worst_pairs, p_cap = _classed_statics(r, m, cfg)
+    masked = domain_mask is not None
+    n_col_bins = _NUM_CLASS_BINS + (1 if masked else 0)
+    block_r, block_m, r_pad, m_pad, worst_pairs, p_cap = _classed_statics(
+        r, m, cfg, masked_domains=masked)
 
     rcls01 = (range_classes + 1).astype(jnp.int32)  # bins -1..5 -> 0..6
     ccls01 = jnp.repeat((domain_classes + 1).astype(jnp.int32), t)
+    if masked:
+        ccls01 = jnp.where(jnp.repeat(domain_mask, t), ccls01, _NUM_CLASS_BINS)
 
     # search-order columns: m = d*T + (T-1-t)
     cb_cols = cb.values[:, ::-1, :].reshape(m, k)
@@ -248,7 +274,7 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     )
 
     rpos, _, _, r_tile_cum = _class_layout(rcls01, block_r)
-    cpos, c_seg_start, c_counts, _ = _class_layout(ccls01, block_m)
+    cpos, c_seg_start, c_counts, _ = _class_layout(ccls01, block_m, n_col_bins)
 
     # Permute into the class-sorted layout with GATHERS (row scatters are
     # much slower on TPU): first invert the position maps with small i32
@@ -273,10 +299,15 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     nrt = r_pad // block_r
     tile_ids = jnp.arange(nrt, dtype=jnp.int32)
     tile_class = jnp.searchsorted(r_tile_cum, tile_ids, side="right").astype(jnp.int32)
+    if masked:
+        # padding range tiles must index the appended empty bin, not the
+        # masked-domain bin (which holds real columns in the masked layout)
+        tile_class = jnp.where(tile_class == _NUM_CLASS_BINS, n_col_bins,
+                               tile_class)
 
-    col_tile_start = c_seg_start // block_m  # [8]
-    col_tile_count = -(-c_counts // block_m)  # [8] ceil
-    col_end = c_seg_start + c_counts  # [8] first invalid sorted index
+    col_tile_start = c_seg_start // block_m  # [n_col_bins+1]
+    col_tile_count = -(-c_counts // block_m)  # [n_col_bins+1] ceil
+    col_end = c_seg_start + c_counts  # first invalid sorted index
 
     # Active-pair list: grid over exactly the (range tile, col tile) pairs
     # the classifier keeps (dynamic length), instead of the worst-case 2-D
@@ -315,7 +346,7 @@ def classed_kernel(prep: dict, k: int, domain_area: int, block_r: int,
     """Run the Pallas search on prepped arrays: the pair-list kernel, with a
     lax.cond fallback to the 2-D classed kernel when a degenerate class
     distribution overflows the pair budget (only reachable at 4K+).
-    Returns (dist_s, idx_s) in the sorted layout."""
+    Returns (dist_s, idx_s, q_s) in the sorted layout."""
     from ..ops.matcher_pallas import (
         INT8_MAX_K,
         PAIR_CAP,
@@ -362,7 +393,7 @@ def classed_kernel(prep: dict, k: int, domain_area: int, block_r: int,
     return jax.lax.cond(prep["n_pairs"] <= p_cap, _pairs_path, _classed_path)
 
 
-def classed_post(dist_s, idx_s, rpos, inv_col, ranges, sum_a, sum_a2,
+def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
                  cb: Codebook, cfg: EncoderConfig) -> SearchResult:
     """Map sorted-layout kernel outputs back to original range order and
     solve (s, o) for the winners (pure jnp, vmappable)."""
@@ -395,6 +426,7 @@ def classed_post(dist_s, idx_s, rpos, inv_col, ranges, sum_a, sum_a2,
         s=s,
         o=o,
         valid=valid,
+        key=q_s[rpos],
     )
 
 
@@ -407,6 +439,7 @@ def search_pallas_classed(
     range_classes: jnp.ndarray,
     domain_classes: jnp.ndarray,
     cfg: EncoderConfig,
+    domain_mask: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> SearchResult:
     """Class-blocked Pallas backend: the classifier's equality prune becomes
@@ -425,15 +458,16 @@ def search_pallas_classed(
     r, k = ranges.shape
     d, t, _ = cb.values.shape
     m = d * t
-    block_r, block_m, _, _, worst_pairs, p_cap = _classed_statics(r, m, cfg)
+    block_r, block_m, _, _, worst_pairs, p_cap = _classed_statics(
+        r, m, cfg, masked_domains=domain_mask is not None)
 
     prep = classed_prep(ranges, sum_a, sum_a2, cb, range_classes,
-                        domain_classes, cfg)
-    dist_s, idx_s = classed_kernel(
+                        domain_classes, cfg, domain_mask=domain_mask)
+    dist_s, idx_s, q_s = classed_kernel(
         prep, k, cb.grid.block_size ** 2, block_r, block_m, p_cap,
         worst_pairs, cfg, interpret,
     )
-    return classed_post(dist_s, idx_s, prep["rpos"], prep["inv_col"],
+    return classed_post(dist_s, idx_s, q_s, prep["rpos"], prep["inv_col"],
                         ranges, sum_a, sum_a2, cb, cfg)
 
 
@@ -501,7 +535,7 @@ def search_pallas(
     aux_p = jnp.pad(aux, (0, mp - m))
     col_cls_p = jnp.pad(col_cls, (0, mp - m), constant_values=-4)
 
-    dist, win_m = fused_search(
+    dist, win_m, q = fused_search(
         ranges_p, sum_a_p, sum_a2_p, cb_cols_p, sb_p, aux_p, rcls_p, col_cls_p,
         criterion=cfg.criterion,
         so_mode=cfg.so_mode,
@@ -520,6 +554,7 @@ def search_pallas(
     )
     dist = dist[:r]
     win_m = win_m[:r]
+    q = q[:r]
     win_d = win_m // t
     win_t = (t - 1) - (win_m % t)
 
@@ -538,6 +573,7 @@ def search_pallas(
         s=s,
         o=o,
         valid=valid,
+        key=q,
     )
 
 
@@ -595,10 +631,12 @@ def search(
         )[:, 0]
         best = take(dist)
         valid = best < _BIG
-        return win_d, win_t, jnp.where(valid, best, _BIG), take(s), take(o), valid
+        # maximized rank key of the winner (key is the minimized -q)
+        return (win_d, win_t, jnp.where(valid, best, _BIG), take(s), take(o),
+                valid, -take(key))
 
     chunk_args = (ranges_p, sum_a_p, sum_a2_p) + ((rcls_p,) if use_classes else ())
-    win_d, win_t, best, s, o, valid = jax.lax.map(chunk_fn, chunk_args)
+    win_d, win_t, best, s, o, valid, q = jax.lax.map(chunk_fn, chunk_args)
 
     unpad = lambda x: x.reshape(num_chunks * rc, *x.shape[2:])[:r]
     s = unpad(s)
@@ -616,4 +654,5 @@ def search(
         s=s,
         o=o,
         valid=valid,
+        key=unpad(q),
     )

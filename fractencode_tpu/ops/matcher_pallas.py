@@ -518,7 +518,7 @@ def fused_search_pairs(
         criterion=criterion, so_mode=so_mode, s_max=s_max,
         inv_norm=inv_norm, n=float(k),
     )
-    return dist, idx.reshape(-1)
+    return dist, idx.reshape(-1), q.reshape(-1)
 
 
 @functools.partial(
@@ -649,7 +649,7 @@ def fused_search_classed(
         criterion=criterion, so_mode=so_mode, s_max=s_max,
         inv_norm=inv_norm, n=float(k),
     )
-    return dist, idx.reshape(-1)
+    return dist, idx.reshape(-1), q.reshape(-1)
 
 
 @functools.partial(
@@ -758,4 +758,4 @@ def fused_search(
         criterion=criterion, so_mode=so_mode, s_max=s_max,
         inv_norm=inv_norm, n=float(k),
     )
-    return dist, idx.reshape(-1)
+    return dist, idx.reshape(-1), q.reshape(-1)

@@ -5,21 +5,34 @@ Replaces the reference's single-host thread pool (SURVEY.md section 2,
 
   * ``data`` axis — independent images; embarrassingly parallel (the
     multi-image batch of BASELINE config 5).
-  * ``search`` axis, two strategies for one image:
+  * ``search`` axis, three strategies for one image:
       - **range sharding** (default): each device owns a contiguous slice of
         the range blocks and the full domain codebook (built locally from the
         replicated plane — compute is duplicated but tiny next to the search
         matmul).  No communication at all in the hot loop; results come back
-        naturally sharded.  This is the "replicate/all_gather the codebook"
-        strategy for images whose codebook fits HBM.
-      - **domain sharding**: each device scores ALL ranges against a slice of
-        the codebook columns and the global winner is reduced with an
-        argmin-allreduce over ICI (``all_gather`` of the per-shard
-        (distance, index) pairs + composite argmin).  This is the
-        ring/Ulysses-style decomposition for codebooks too big to replicate
-        — the communication pattern BASELINE.json's north star asks for.
+        naturally sharded.  This is the "replicate the codebook" strategy for
+        images whose codebook fits HBM.
+      - **domain sharding**: each device builds only ITS row-band of the
+        domain codebook (O(codebook/n) build memory), scores ALL ranges
+        against it, and the global winner is reduced with an
+        argmax-allreduce over ICI on the rank key (``all_gather`` of the
+        per-shard (q, winner) pairs + composite argmax).
+      - **ring streaming**: each device builds its codebook row-band once and
+        the shards then rotate around the ring (``ppermute``), visiting every
+        device — ring-attention over the domain axis.  Peak codebook memory
+        stays O(codebook/n) per device for the WHOLE search, the pattern
+        BASELINE.json's north star requires for codebooks too big to
+        replicate (4K+ images).
 
-Both run under one ``jax.jit`` so XLA overlaps collectives with compute.
+All cross-shard winner reduction compares the MAXIMIZED rank key ``q``
+(``SearchResult.key``), not the distance: distances saturate (the 'ls'
+criterion clamps at 0 on flat ranges) so distance ties can hide key
+differences, and only the key reproduces the single-device first-occurrence
+tie-break bitwise.  Global tie-break = lowest global search-order column,
+exactly the reference's domain-ascending/transform-descending rule.
+
+Everything runs under one ``jax.jit`` so XLA overlaps collectives with
+compute.
 """
 from __future__ import annotations
 
@@ -45,17 +58,63 @@ from ..encode.matcher import (
 from ..params import EncoderConfig
 from .mesh import DATA_AXIS, SEARCH_AXIS
 
-
-def _use_pallas(cfg: EncoderConfig) -> bool:
-    if cfg.backend == "pallas":
-        return True
-    return cfg.backend == "auto" and jax.default_backend() == "tpu"
-
 __all__ = [
     "encode_batch_sharded",
     "decode_batch_sharded",
     "encode_plane_sharded_image",
+    "STRATEGIES",
 ]
+
+STRATEGIES = ("ranges", "domains", "ring")
+
+
+def _use_pallas(cfg: EncoderConfig) -> bool:
+    if cfg.rms_threshold > 0.0:
+        return False  # threshold frontier is oracle-only (see encode/matcher.py)
+    if cfg.backend == "pallas":
+        return True
+    return cfg.backend == "auto" and jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _search_any(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg: EncoderConfig,
+                domain_mask=None):
+    """Backend dispatch shared by every sharded strategy: the Pallas classed
+    kernel when a classifier is active, the dense Pallas kernel otherwise,
+    the jnp oracle on CPU or when cfg rules Pallas out.  ``domain_mask``
+    marks geometry-invalid domains (tail padding / off-image rows)."""
+    if _use_pallas(cfg):
+        if cfg.use_classifier and rcls is not None:
+            return search_pallas_classed(
+                ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
+                domain_mask=domain_mask, interpret=_interpret(),
+            )
+        if domain_mask is not None:
+            # the dense kernel's only masking hook is the class compare:
+            # express validity as a class bit (0 == valid, -4 == masked)
+            t = cb.values.shape[1]
+            rcls0 = jnp.zeros((ranges.shape[0],), jnp.int32)
+            ccls0 = jnp.where(jnp.repeat(domain_mask, t), 0, -4).astype(jnp.int32)
+            mcfg = cfg if cfg.use_classifier else _with_classifier(cfg)
+            return search_pallas(
+                ranges, sum_a, sum_a2, cb, rcls0, ccls0, mcfg,
+                interpret=_interpret(),
+            )
+        return search_pallas(
+            ranges, sum_a, sum_a2, cb, rcls, dcls, cfg, interpret=_interpret(),
+        )
+    return search(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
+                  domain_mask=domain_mask)
+
+
+@functools.lru_cache(maxsize=None)
+def _with_classifier(cfg: EncoderConfig) -> EncoderConfig:
+    import dataclasses
+
+    return dataclasses.replace(cfg, use_classifier=True)
 
 
 def _plane_search_arrays(plane, cfg: EncoderConfig, r_lo: int, r_count: int):
@@ -83,22 +142,76 @@ def _plane_search_arrays(plane, cfg: EncoderConfig, r_lo: int, r_count: int):
         domain_classes = None
         range_classes = None
 
-    if _use_pallas(cfg):
-        interpret = jax.default_backend() != "tpu"
-        if cfg.use_classifier and range_classes is not None:
-            return search_pallas_classed(
-                ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg,
-                interpret=interpret,
-            )
-        return search_pallas(
-            ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg,
-            interpret=interpret,
-        )
-    return search(ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg)
+    return _search_any(ranges, sum_a, sum_a2, cb, range_classes,
+                       domain_classes, cfg)
 
 
 def _result_tuple(res: SearchResult):
     return (res.domain_idx, res.transform, res.s, res.o, res.distance, res.valid)
+
+
+# ---------------------------------------------------------------------------
+# domain-band machinery shared by the 'domains' and 'ring' strategies
+
+
+def _band_statics(h: int, w: int, cfg: EncoderConfig, n: int):
+    """Static geometry of the per-device domain row-band decomposition."""
+    sw = cfg.source_size
+    step = cfg.domain_step
+    grid = uniform_grid(w, h, sw, step)
+    ny, nx = grid.ny, grid.nx
+    rows_per = -(-ny // n)  # ceil: every device owns the same band height
+    band_h = (rows_per - 1) * step + sw
+    pad_h = max(0, (n - 1) * rows_per * step + band_h - h)
+    d_local = rows_per * nx
+    return grid, ny, nx, rows_per, band_h, pad_h, d_local
+
+
+def _local_band_codebook(plane, cfg: EncoderConfig, shard: jnp.ndarray,
+                         statics):
+    """Build the codebook + classes for domain rows [shard*rows_per, ...)
+    from the (replicated) plane — each device materializes only O(D/n)
+    codebook entries (build_codebook of the band, never of the full grid).
+
+    Returns (cb_local, dcls_local [d_local] i32 or None,
+    domain_mask [d_local] bool)."""
+    grid, ny, nx, rows_per, band_h, pad_h, d_local = statics
+    h, w = plane.shape
+    step = cfg.domain_step
+    plane_pad = jnp.pad(plane, ((0, pad_h), (0, 0)))
+    band = jax.lax.dynamic_slice_in_dim(plane_pad, shard * (rows_per * step),
+                                        band_h, axis=0)
+    local_grid = uniform_grid(w, band_h, cfg.source_size, step)
+    assert local_grid.ny == rows_per, (local_grid.ny, rows_per)
+    cb_local = build_codebook(band.astype(jnp.float32), local_grid,
+                              cfg.target_size, cfg.num_transforms)
+    if cfg.use_classifier:
+        dcls_local = classify_grid(band, local_grid)
+    else:
+        dcls_local = None
+    local_rows = shard * rows_per + jnp.arange(d_local) // nx
+    domain_mask = local_rows < ny
+    return cb_local, dcls_local, domain_mask
+
+
+def _range_arrays(plane, cfg: EncoderConfig):
+    plane_f32 = plane.astype(jnp.float32)
+    ranges = extract_ranges(plane_f32, cfg.target_size)
+    sum_a = ranges.sum(axis=-1)
+    sum_a2 = (ranges * ranges).sum(axis=-1)
+    if cfg.use_classifier:
+        h, w = plane.shape
+        range_grid = uniform_grid(w, h, cfg.target_size, cfg.target_size)
+        rcls = classify_grid(plane, range_grid)
+    else:
+        rcls = None
+    return ranges, sum_a, sum_a2, rcls
+
+
+def _local_m(res: SearchResult, t: int):
+    """Search-order column of the winner within its shard:
+    m = d*T + (T-1-t) (see ops.matcher_pallas docstring)."""
+    return res.domain_idx * t + (t - 1) - res.transform
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "strategy"))
@@ -106,10 +219,11 @@ def _encode_batch_impl(planes, cfg: EncoderConfig, mesh: Mesh, strategy: str):
     b, h, w = planes.shape
     n_search = mesh.shape[SEARCH_AXIS]
     num_ranges = (h // cfg.target_size) * (w // cfg.target_size)
-    assert num_ranges % n_search == 0, (num_ranges, n_search)
-    r_per = num_ranges // n_search
+    t_n = cfg.num_transforms
 
     if strategy == "ranges":
+        assert num_ranges % n_search == 0, (num_ranges, n_search)
+        r_per = num_ranges // n_search
 
         def body(planes_local):
             # planes_local: [B/nd, H, W]; this device owns range slice
@@ -139,82 +253,147 @@ def _encode_batch_impl(planes, cfg: EncoderConfig, mesh: Mesh, strategy: str):
         )(planes)
 
     elif strategy == "domains":
+        statics = _band_statics(h, w, cfg, n_search)
+        d_local = statics[-1]
+        m_local = d_local * t_n
 
         def body(planes_local):
             idx = jax.lax.axis_index(SEARCH_AXIS)
 
             def one(plane):
-                plane_f32 = plane.astype(jnp.float32)
-                domain_grid = uniform_grid(w, h, cfg.source_size, cfg.domain_step)
-                range_grid = uniform_grid(w, h, cfg.target_size, cfg.target_size)
-                d_total = domain_grid.num_items
-                d_per = -(-d_total // n_search)  # padded shard size
+                # this device's codebook row-band only: O(D/n) build memory
+                cb, dcls, dmask = _local_band_codebook(plane, cfg, idx, statics)
+                ranges, sum_a, sum_a2, rcls = _range_arrays(plane, cfg)
+                local = _search_any(ranges, sum_a, sum_a2, cb, rcls, dcls,
+                                    cfg, domain_mask=dmask)
 
-                cb = build_codebook(
-                    plane_f32, domain_grid, cfg.target_size, cfg.num_transforms
-                )
-                # slice the codebook along domains (pad tail shard)
-                pad = d_per * n_search - d_total
-                vals = jnp.pad(cb.values, ((0, pad), (0, 0), (0, 0)))
-                sums = jnp.pad(cb.sum, ((0, pad), (0, 0)))
-                sums2 = jnp.pad(cb.sum_sq, ((0, pad), (0, 0)), constant_values=_BIG)
-                ivar = jnp.pad(cb.inv_var_or_compute(), ((0, pad), (0, 0)))
-                lo = idx * d_per
-                cb_shard = type(cb)(
-                    values=jax.lax.dynamic_slice_in_dim(vals, lo, d_per, 0),
-                    sum=jax.lax.dynamic_slice_in_dim(sums, lo, d_per, 0),
-                    sum_sq=jax.lax.dynamic_slice_in_dim(sums2, lo, d_per, 0),
-                    grid=domain_grid,
-                    inv_var=jax.lax.dynamic_slice_in_dim(ivar, lo, d_per, 0),
-                )
-                ranges = extract_ranges(plane_f32, cfg.target_size)
-                sum_a = ranges.sum(axis=-1)
-                sum_a2 = (ranges * ranges).sum(axis=-1)
-                if cfg.use_classifier:
-                    ii = integral_image(plane)
-                    dcls = jnp.pad(
-                        classify_grid(plane, domain_grid, ii=ii),
-                        (0, pad),
-                        constant_values=-9,
-                    )
-                    dcls = jax.lax.dynamic_slice_in_dim(dcls, lo, d_per, 0)
-                    rcls = classify_grid(plane, range_grid, ii=ii)
-                else:
-                    dcls = None
-                    rcls = None
-                # mask the tail shard's padded codebook columns
-                local_ids = lo + jnp.arange(d_per)
-                domain_mask = local_ids < d_total
-                local = search(
-                    ranges, sum_a, sum_a2, cb_shard, rcls, dcls, cfg,
-                    domain_mask=domain_mask,
-                )
-
-                # ---- argmin-allreduce over the search axis (ICI) ----
-                # gather per-shard (distance, local winner) and pick the
-                # global winner with the reference tie-break (lowest global
-                # domain index wins ties -> lowest shard wins ties).
-                dists = jax.lax.all_gather(local.distance, SEARCH_AXIS)  # [S, R]
-                winner = jnp.argmin(dists, axis=0)  # first (lowest shard) wins
+                # ---- argmax-allreduce on the rank key over ICI ----
+                # per-shard (q, winner); global winner = max q, ties to the
+                # lowest shard (shards hold ascending global columns, and the
+                # in-shard winner is already the first occurrence).
+                qs = jax.lax.all_gather(local.key, SEARCH_AXIS)  # [S, R]
+                winner = jnp.argmax(qs, axis=0)  # first (lowest shard) on ties
                 sel = lambda x: jax.lax.all_gather(x, SEARCH_AXIS)[
                     winner, jnp.arange(num_ranges)
                 ]
-                g_dom = sel(local.domain_idx) + winner * d_per
+                g_dom = sel(local.domain_idx) + winner * d_local
+                valid = sel(local.valid)
                 return (
-                    g_dom.astype(jnp.int32),
+                    jnp.where(valid, g_dom, 0).astype(jnp.int32),
                     sel(local.transform),
                     sel(local.s),
                     sel(local.o),
-                    jnp.min(dists, axis=0),
-                    sel(local.valid),
+                    sel(local.distance),
+                    valid,
                 )
 
+            if _use_pallas(cfg):
+                return jax.lax.map(one, planes_local)
             return jax.vmap(one)(planes_local)
 
         out_spec = tuple([P(DATA_AXIS, None)] * 6)
-        # check_vma=False: after the all_gather + argmin-allreduce the outputs
+        # check_vma=False: after the all_gather + argmax-allreduce the outputs
         # ARE replicated over 'search', but the varying-axes analysis cannot
-        # prove it statically.
+        # prove it statically (and the Pallas body can't be typed at all).
+        outs = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None, None),),
+            out_specs=out_spec,
+            check_vma=False,
+        )(planes)
+
+    elif strategy == "ring":
+        statics = _band_statics(h, w, cfg, n_search)
+        grid, ny, nx, rows_per, band_h, pad_h, d_local = statics
+        m_local = d_local * t_n
+        perm = [(i, (i + 1) % n_search) for i in range(n_search)]
+
+        def body(planes_local):
+            idx = jax.lax.axis_index(SEARCH_AXIS)
+
+            def one(plane):
+                # Build this device's shard ONCE; shards then rotate around
+                # the ring past the resident ranges (ring attention over the
+                # domain-codebook axis): peak codebook memory is O(D/n) per
+                # device for the whole search — the "too big to replicate"
+                # case of SURVEY.md section 5.
+                cb, dcls, _ = _local_band_codebook(plane, cfg, idx, statics)
+                ranges, sum_a, sum_a2, rcls = _range_arrays(plane, cfg)
+                r = ranges.shape[0]
+                if dcls is None:
+                    # carry needs static structure; use a zero placeholder
+                    dcls_c = jnp.zeros((d_local,), jnp.int32)
+                else:
+                    dcls_c = dcls
+
+                def hop(hi, carry):
+                    (bq, bcol, bdist, bs, bo, bvalid,
+                     vals, sums, sums2, ivar, dc) = carry
+                    src = (idx - hi) % n_search  # shard we currently hold
+                    cb_h = type(cb)(values=vals, sum=sums, sum_sq=sums2,
+                                    grid=cb.grid, inv_var=ivar)
+                    local_rows = src * rows_per + jnp.arange(d_local) // nx
+                    dmask = local_rows < ny
+                    res = _search_any(ranges, sum_a, sum_a2, cb_h, rcls,
+                                      dc if cfg.use_classifier else None,
+                                      cfg, domain_mask=dmask)
+                    gcol = src * m_local + _local_m(res, t_n)
+                    # global first-occurrence: higher key wins; equal keys ->
+                    # lower global column wins (exact f32 equality: both
+                    # sides are the same deterministic kernel expression)
+                    better = (res.key > bq) | ((res.key == bq) & (gcol < bcol))
+                    upd = lambda new, old: jnp.where(better, new, old)
+                    g_dom = src * d_local + res.domain_idx
+                    carry2 = (
+                        upd(res.key, bq),
+                        upd(gcol, bcol),
+                        upd(res.distance, bdist),
+                        upd(res.s, bs),
+                        upd(res.o, bo),
+                        upd(res.valid, bvalid),
+                        # rotate the shard to the next device (ICI ring)
+                        jax.lax.ppermute(vals, SEARCH_AXIS, perm),
+                        jax.lax.ppermute(sums, SEARCH_AXIS, perm),
+                        jax.lax.ppermute(sums2, SEARCH_AXIS, perm),
+                        jax.lax.ppermute(ivar, SEARCH_AXIS, perm),
+                        jax.lax.ppermute(dc, SEARCH_AXIS, perm),
+                    )
+                    return carry2
+
+                init = (
+                    jnp.full((r,), -_BIG, jnp.float32),
+                    jnp.zeros((r,), jnp.int32),
+                    jnp.full((r,), _BIG, jnp.float32),
+                    jnp.zeros((r,), jnp.float32),
+                    jnp.zeros((r,), jnp.float32),
+                    jnp.zeros((r,), bool),
+                    cb.values, cb.sum, cb.sum_sq, cb.inv_var_or_compute(),
+                    dcls_c,
+                )
+                bq, bcol, bdist, bs, bo, bvalid, *_ = jax.lax.fori_loop(
+                    0, n_search, hop, init
+                )
+                # fully-rejected ranges never update the carry: bcol stays 0,
+                # which decodes to (domain 0, transform T-1) — exactly the
+                # single-device argmin's first-column fallback
+                g_dom = bcol // t_n
+                g_tr = (t_n - 1) - (bcol % t_n)
+                bs = jnp.where(bvalid, bs, 0.0)
+                bo = jnp.where(bvalid, bo, 0.0)
+                return (
+                    g_dom.astype(jnp.int32),
+                    g_tr.astype(jnp.int32),
+                    bs, bo,
+                    jnp.where(bvalid, bdist, _BIG),
+                    bvalid,
+                )
+
+            if _use_pallas(cfg):
+                return jax.lax.map(one, planes_local)
+            return jax.vmap(one)(planes_local)
+
+        out_spec = tuple([P(DATA_AXIS, None)] * 6)
         outs = shard_map(
             body,
             mesh=mesh,
@@ -223,7 +402,7 @@ def _encode_batch_impl(planes, cfg: EncoderConfig, mesh: Mesh, strategy: str):
             check_vma=False,
         )(planes)
     else:
-        raise ValueError(f"unknown strategy {strategy}")
+        raise ValueError(f"unknown strategy {strategy}; want one of {STRATEGIES}")
 
     dom, tr, s, o, dist, valid = outs
     return dom, tr, s, o, dist, valid
@@ -333,8 +512,8 @@ def _encode_sharded_image_impl(plane, cfg: EncoderConfig, mesh: Mesh):
             dcls = None
             rcls = None
 
-        res = search(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
-                     domain_mask=domain_mask)
+        res = _search_any(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
+                          domain_mask=domain_mask)
         return _result_tuple(res)
 
     out_spec = tuple([P(SEARCH_AXIS)] * 6)
@@ -371,6 +550,15 @@ def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
     h, w = template.height, template.width
 
     def body(dom_l, tr_l, s_l, o_l, valid_l):
+        # Inputs arrive sharded [B/nd, R/ns] exactly as the sharded encode
+        # produced them (in_specs below mirror its out_specs — no SPMD
+        # resharding, no "involuntary full rematerialization"); reassemble
+        # the full per-image rows with one explicit all_gather over ICI.
+        gather = lambda x: jax.lax.all_gather(x, SEARCH_AXIS, axis=1, tiled=True)
+        dom_l, tr_l, s_l, o_l, valid_l = map(
+            gather, (dom_l, tr_l, s_l, o_l, valid_l)
+        )
+
         def one(dom1, tr1, s1, o1, v1):
             res = EncodeResult(
                 domain_idx=dom1, transform=tr1, s=s1, o=o1,
@@ -411,8 +599,9 @@ def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=tuple([P(DATA_AXIS, None)] * 5),
+        in_specs=tuple([P(DATA_AXIS, SEARCH_AXIS)] * 5),
         out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
     )(dom, tr, s, o, valid)
 
 

@@ -22,7 +22,7 @@ def devices_ok():
         pytest.skip("needs 8 virtual devices")
 
 
-@pytest.mark.parametrize("strategy", ["ranges", "domains"])
+@pytest.mark.parametrize("strategy", ["ranges", "domains", "ring"])
 def test_sharded_encode_matches_single_device(rng, devices_ok, strategy):
     cfg = EncoderConfig(source_size=16, target_size=4)
     imgs = _images(rng, b=2, n=64)
@@ -42,22 +42,86 @@ def test_sharded_encode_matches_single_device(rng, devices_ok, strategy):
         )
 
 
-def test_sharded_encode_pallas_backend(rng, devices_ok):
-    """The 'ranges' strategy with the Pallas kernel (interpreted on CPU):
-    validates the kernel's dynamic-grid pair list inside shard_map+lax.map —
-    the real-pod hot path."""
+@pytest.mark.parametrize("strategy", ["ranges", "domains", "ring"])
+def test_sharded_encode_pallas_backend(rng, devices_ok, strategy):
+    """Every strategy with the Pallas kernel (interpreted on CPU):
+    validates the kernel's dynamic-grid pair list inside shard_map+lax.map,
+    the domain-mask bin, and the ring/argmax reducers — the real-pod hot
+    paths."""
     cfg = EncoderConfig(source_size=16, target_size=4, backend="pallas")
     imgs = _images(rng, b=2, n=64)
     mesh = make_mesh(n_data=2, n_search=4)
-    results = encode_batch_sharded(imgs, cfg, mesh, strategy="ranges")
+    results = encode_batch_sharded(imgs, cfg, mesh, strategy=strategy)
     for i in range(2):
         single = encode_plane(imgs[i], cfg)
         np.testing.assert_array_equal(
-            np.asarray(results[i].domain_idx), np.asarray(single.domain_idx)
+            np.asarray(results[i].domain_idx), np.asarray(single.domain_idx),
+            err_msg=f"strategy={strategy} image={i}",
         )
         np.testing.assert_array_equal(
             np.asarray(results[i].transform), np.asarray(single.transform)
         )
+        np.testing.assert_allclose(
+            np.asarray(results[i].s), np.asarray(single.s), atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("strategy", ["domains", "ring"])
+def test_sharded_encode_flat_blocks_tiebreak(devices_ok, strategy):
+    """Flat range blocks tie at distance 0 against MANY domains (the 'ls'
+    criterion clamps); the cross-shard reducer must still reproduce the
+    single-device winner bitwise — this is why the reduction compares the
+    rank key, not the distance."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    img[:16, :] = 128  # flat band: every 4x4 range there ties at dist 0
+    img = np.stack([img, img[::-1]])
+    cfg = EncoderConfig(source_size=16, target_size=4)
+    mesh = make_mesh(n_data=2, n_search=4)
+    results = encode_batch_sharded(img, cfg, mesh, strategy=strategy)
+    for i in range(2):
+        single = encode_plane(img[i], cfg)
+        np.testing.assert_array_equal(
+            np.asarray(results[i].domain_idx), np.asarray(single.domain_idx),
+            err_msg=f"strategy={strategy}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(results[i].transform), np.asarray(single.transform)
+        )
+
+
+@pytest.mark.parametrize("strategy", ["domains", "ring"])
+def test_sharded_encode_noclassifier(rng, devices_ok, strategy):
+    cfg = EncoderConfig(source_size=16, target_size=4, use_classifier=False)
+    imgs = _images(rng, b=2, n=64)
+    mesh = make_mesh(n_data=2, n_search=4)
+    results = encode_batch_sharded(imgs, cfg, mesh, strategy=strategy)
+    for i in range(2):
+        single = encode_plane(imgs[i], cfg)
+        np.testing.assert_array_equal(
+            np.asarray(results[i].domain_idx), np.asarray(single.domain_idx),
+            err_msg=f"strategy={strategy}",
+        )
+
+
+def test_sharded_encode_uneven_domain_rows(rng, devices_ok):
+    """Domain-row bands that don't divide evenly over the search axis: the
+    tail shard's padded rows must be masked out bitwise-correctly."""
+    cfg = EncoderConfig(source_size=16, target_size=4)
+    # 80x64: domain grid ny=9 rows over 4 shards -> rows_per=3, 3 pad rows
+    imgs = rng.integers(0, 256, size=(2, 80, 64), dtype=np.uint8)
+    mesh = make_mesh(n_data=2, n_search=4)
+    for strategy in ("domains", "ring"):
+        results = encode_batch_sharded(imgs, cfg, mesh, strategy=strategy)
+        for i in range(2):
+            single = encode_plane(imgs[i], cfg)
+            np.testing.assert_array_equal(
+                np.asarray(results[i].domain_idx), np.asarray(single.domain_idx),
+                err_msg=f"strategy={strategy}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(results[i].valid), np.asarray(single.valid)
+            )
 
 
 def test_sharded_decode_matches_single_device(rng, devices_ok):
@@ -112,3 +176,29 @@ def test_image_sharded_halo_no_classifier(rng, devices_ok):
     np.testing.assert_array_equal(
         np.asarray(sharded.domain_idx), np.asarray(single.domain_idx)
     )
+
+
+def test_encode_pod_script_single_process(devices_ok, capsys):
+    """scripts/encode_pod.py is the runnable multi-host artifact (BASELINE
+    config 5); its single-process path must work end to end on the virtual
+    mesh, and the arg plumbing must reject bad shapes loudly."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "encode_pod",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "encode_pod.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod.resolve_mesh_shape(8, 2, None) == (2, 4)
+    assert mod.resolve_mesh_shape(8, 1, 8) == (8, 1)
+    with pytest.raises(ValueError):
+        mod.resolve_mesh_shape(8, 1, 3)
+
+    rc = mod.main(["--batch", "2", "--size", "64", "--n-data", "2",
+                   "--reps", "1", "--decode", "--strategy", "ring"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "frames/s" in out and "decode:" in out
