@@ -1,6 +1,8 @@
 """Benchmark runner.
 
-Prints ONE json line:
+Prints one JSON line per BASELINE config, HEADLINE LAST (the driver records
+the final line):
+
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric: encode throughput (megapixels/s) on the 512x512 grayscale
@@ -8,7 +10,23 @@ Lenna default search (16x16 domains step 8, 4x4 ranges, 4 isometries,
 classifier on) — the reference C++ encoder measured on this same machine
 (2 cores, -O3 -mavx2, patched only to fix its condvar deadlock and disable
 FMA contraction) takes 7.545 s for the identical search
-=> 0.0347 Mpix/s baseline.
+=> 0.0347 Mpix/s baseline.  Secondary lines track every other BASELINE.json
+config so round-over-round regressions are visible on all north-star axes:
+
+  1. 256^2, 8x8 ranges / 16x16 domains, full search, 8 isometries
+  3. 1024^2 quadtree adaptive partition (range 4..16)
+  4. 2048^2 full domain pool (single-chip lane of the halo config)
+  5. 4096^2 (single-chip lane of the multi-host batch config)
+
+vs_baseline is only reported where the C++ reference was actually measured
+(512^2); other configs print vs_baseline 0.0 (the C++ encoder would need
+hours at 2048^2+ — see BASELINE.md).
+
+All timings are device-resident (input staged on device first): this box
+reaches the TPU through a network tunnel whose ~40 ms/MB upload would
+dominate; real hosts stream input over local PCIe concurrently with compute.
+A host transfer of a small result array is the completion barrier (honest on
+remote-attached devices where block_until_ready can return early).
 """
 import json
 import os
@@ -31,12 +49,39 @@ def load_plane():
     return rng.integers(0, 256, size=(512, 512), dtype=np.uint8)
 
 
+def tile_to(plane: np.ndarray, n: int) -> np.ndarray:
+    reps = -(-n // plane.shape[0])
+    return np.tile(plane, (reps, reps))[:n, :n]
+
+
+def emit(metric, value, unit, vs_baseline=0.0):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 4),
+        "unit": unit,
+        "vs_baseline": round(float(vs_baseline), 2),
+    }), flush=True)
+
+
+def time_encode(fn, out_probe, reps=3):
+    """min wall seconds over reps; out_probe pulls a result field to host."""
+    fn_out = fn()
+    out_probe(fn_out)  # warmup/compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out_probe(fn())
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import jax
+    import jax.numpy as jnp
 
     from fractencode_tpu import EncoderConfig, decode_plane, encode_plane
     from fractencode_tpu.encode import encode_batch
+    from fractencode_tpu.encode.quadtree import QuadtreeConfig, encode_plane_quadtree
 
     plane = load_plane()
     h, w = plane.shape
@@ -55,16 +100,41 @@ def main():
     )
     assert psnr_ok > 25.0, f"decode sanity failed: {psnr_ok} dB"
 
-    # throughput mode: batched encode (one device program for B frames).
-    # NOTE: timing pulls a result array to host — on remote-attached devices
-    # block_until_ready can return before execution finishes, so a transfer
-    # is the only honest completion barrier.
-    # Stage the input batch on device first: this box reaches the TPU through
-    # a network tunnel whose ~40 ms/MB upload would dominate the measurement;
-    # real hosts stream input over local PCIe concurrently with compute.  The
-    # metric is sustained per-chip encode throughput on resident frames.
-    import jax.numpy as jnp
+    stage = lambda a: jnp.asarray(a)
+    probe_plane = lambda r: np.asarray(r.domain_idx)
 
+    # --- config 1: 256^2, 8x8/16x16, FULL search (no classifier), 8 isometries
+    p256 = stage(plane[:256, :256])
+    jnp.add(p256, 0).block_until_ready()
+    cfg1 = EncoderConfig(source_size=16, target_size=8, num_transforms=8,
+                         use_classifier=False)
+    dt = time_encode(lambda: encode_plane(p256, cfg1), probe_plane)
+    emit("encode_256px_full8_ms", dt * 1e3, "ms")
+
+    # --- config 3: 1024^2 quadtree (range 4..16)
+    p1024 = stage(tile_to(plane, 1024))
+    jnp.add(p1024, 0).block_until_ready()
+    qcfg = QuadtreeConfig(min_size=4, max_size=16)
+    dt = time_encode(
+        lambda: encode_plane_quadtree(p1024, cfg, qcfg),
+        lambda r: np.asarray(r.levels[-1].domain_idx),
+    )
+    emit("encode_1024px_quadtree_ms", dt * 1e3, "ms")
+
+    # --- config 4: 2048^2 full domain pool, default search
+    p2048 = stage(tile_to(plane, 2048))
+    jnp.add(p2048, 0).block_until_ready()
+    dt = time_encode(lambda: encode_plane(p2048, cfg), probe_plane)
+    emit("encode_2048px_ms", dt * 1e3, "ms")
+
+    # --- config 5 (single-chip lane): 4096^2 default search
+    p4096 = stage(tile_to(plane, 4096))
+    jnp.add(p4096, 0).block_until_ready()
+    dt = time_encode(lambda: encode_plane(p4096, cfg), probe_plane, reps=2)
+    emit("encode_4096px_ms", dt * 1e3, "ms")
+    del p4096
+
+    # --- HEADLINE (must stay LAST): 512^2 batch-16 throughput
     batch = jnp.asarray(np.stack([plane] * 16))
     jnp.add(batch, 0).block_until_ready()
     outs = encode_batch(batch, cfg)
@@ -80,16 +150,8 @@ def main():
 
     mpix_s = (h * w) / encode_s / 1e6
     baseline_mpix_s = (h * w) / BASELINE_CPP_SECONDS_512 / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "encode_throughput_512px_lenna_batch16",
-                "value": round(mpix_s, 4),
-                "unit": "Mpix/s/chip",
-                "vs_baseline": round(mpix_s / baseline_mpix_s, 2),
-            }
-        )
-    )
+    emit("encode_throughput_512px_lenna_batch16", mpix_s, "Mpix/s/chip",
+         mpix_s / baseline_mpix_s)
 
 
 if __name__ == "__main__":

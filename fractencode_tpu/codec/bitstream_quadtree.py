@@ -23,7 +23,11 @@ from .quantize import DEFAULT_O_BITS, DEFAULT_S_BITS, dequantize, quantize
 __all__ = ["pack_quadtree", "unpack_quadtree"]
 
 _MAGIC = b"FTQ1"
-_VERSION = 1
+# v2: per-item payload uses the SAME layout as the uniform stream
+# (valid bit | dom | transform | s_q | o_q) so both formats share the native
+# C++ packer (native/bitpack.cpp); the valid bit is constant 1 here (only
+# accepted blocks are stored) at a cost of 1 bit per leaf.
+_VERSION = 2
 _HDR_FMT = "<4sHHIIHH"  # magic, version, nlevels, width, height, sbits, obits
 _LVL_FMT = "<HHHIffff"  # range, domain, step, naccept, smin, smax, omin, omax
 
@@ -57,16 +61,26 @@ def pack_quadtree(result, s_bits: int = DEFAULT_S_BITS,
                                  s_min, s_max, o_min, o_max))
         parts.append(np.packbits(acc.astype(np.uint8)).tobytes())
         if len(sel):
-            bits = np.concatenate(
-                [
-                    _ints_to_bits(dom, d_bits),
-                    _ints_to_bits(tr, 3),
-                    _ints_to_bits(quantize(s, s_min, s_max, s_bits), s_bits),
-                    _ints_to_bits(quantize(o, o_min, o_max, o_bits), o_bits),
-                ],
-                axis=1,
-            )
-            parts.append(np.packbits(bits.reshape(-1)).tobytes())
+            s_q = quantize(s, s_min, s_max, s_bits)
+            o_q = quantize(o, o_min, o_max, o_bits)
+            ones = np.ones(len(sel), np.uint8)
+            from .native import pack_items_native
+
+            payload = pack_items_native(dom, tr, s_q, o_q, ones, d_bits, 3,
+                                        s_bits, o_bits)
+            if payload is None:  # no compiler available: numpy fallback
+                bits = np.concatenate(
+                    [
+                        ones[:, None],
+                        _ints_to_bits(dom, d_bits),
+                        _ints_to_bits(tr, 3),
+                        _ints_to_bits(s_q, s_bits),
+                        _ints_to_bits(o_q, o_bits),
+                    ],
+                    axis=1,
+                )
+                payload = np.packbits(bits.reshape(-1)).tobytes()
+            parts.append(payload)
     return b"".join(parts)
 
 
@@ -100,24 +114,32 @@ def unpack_quadtree(data: bytes):
         nx = (width - domain_size) // domain_step + 1
         ny = (height - domain_size) // domain_step + 1
         d_bits = _bit_width(nx * ny)
-        item_bits = d_bits + 3 + s_bits + o_bits
+        item_bits = 1 + d_bits + 3 + s_bits + o_bits
         dom = np.zeros(n_blocks, np.int32)
         tr = np.zeros(n_blocks, np.int32)
         s = np.zeros(n_blocks, np.float32)
         o = np.zeros(n_blocks, np.float32)
         if naccept:
             nbytes = -(-naccept * item_bits // 8)
-            bits = np.unpackbits(
-                np.frombuffer(data[off : off + nbytes], np.uint8),
-                count=naccept * item_bits,
-            ).reshape(naccept, item_bits)
+            from .native import unpack_items_native
+
+            native = unpack_items_native(data[off : off + nbytes], naccept,
+                                         d_bits, 3, s_bits, o_bits)
+            if native is not None:
+                dom_v, tr_v, s_qv, o_qv, _ = native
+            else:
+                bits = np.unpackbits(
+                    np.frombuffer(data[off : off + nbytes], np.uint8),
+                    count=naccept * item_bits,
+                ).reshape(naccept, item_bits)
+                p = 1  # skip the constant valid bit
+                dom_v = _bits_to_ints(bits[:, p : p + d_bits]); p += d_bits
+                tr_v = _bits_to_ints(bits[:, p : p + 3]); p += 3
+                s_qv = _bits_to_ints(bits[:, p : p + s_bits]); p += s_bits
+                o_qv = _bits_to_ints(bits[:, p : p + o_bits])
             off += nbytes
-            p = 0
-            dom_v = _bits_to_ints(bits[:, p : p + d_bits]); p += d_bits
-            tr_v = _bits_to_ints(bits[:, p : p + 3]); p += 3
-            s_v = dequantize(_bits_to_ints(bits[:, p : p + s_bits]), s_min, s_max, s_bits)
-            p += s_bits
-            o_v = dequantize(_bits_to_ints(bits[:, p : p + o_bits]), o_min, o_max, o_bits)
+            s_v = dequantize(s_qv, s_min, s_max, s_bits)
+            o_v = dequantize(o_qv, o_min, o_max, o_bits)
             sel = np.where(acc)[0]
             dom[sel] = dom_v
             tr[sel] = tr_v

@@ -62,14 +62,44 @@ def solve_so(sum_a, sum_a2, sum_b, sum_b2, sum_ab, n: float, so_mode: str, s_max
     'reference' reproduces ``transformmatcher.h:103-105`` (including the
     ``(SumA-1)*SumA`` denominator quirk and the |den|<1e-5 zero guard);
     'ls' is the textbook least squares for ``range ~ s*domain + o``.
+
+    Exactness: the reference accumulates these sums in DOUBLE and they are
+    exact there (8-bit pixels, 0.25-quantized samples).  In f32 the
+    ``n*SumAB - SumA*SumB`` subtraction loses ~4 low bits (both terms need
+    26 bits), which showed up as ~1e-4 relative error in ``s`` — enough to
+    flip u8 truncation boundaries in decode parity.  For K <= INT8_MAX_K
+    every term scaled by 4 (num) / 16 (ls den) is an exact i32, so the
+    numerator/denominator are computed exactly and the ONLY roundings left
+    are the final i32->f32 casts and one division — matching the double
+    computation to f32 precision.
     """
-    if so_mode == "reference":
-        den = n * sum_a2 - (sum_a - 1.0) * sum_a
-        num = n * sum_ab - sum_a * sum_b
+    from ..ops.matcher_pallas import INT8_MAX_K
+
+    exact = n <= INT8_MAX_K
+    if exact:
+        ni = int(n)
+        sa_i = jnp.asarray(sum_a).astype(jnp.int32)
+        sb4 = jnp.asarray(4.0 * jnp.asarray(sum_b)).astype(jnp.int32)
+        ab4 = jnp.asarray(4.0 * jnp.asarray(sum_ab)).astype(jnp.int32)
+        num4 = (ni * ab4 - sa_i * sb4).astype(jnp.float32)  # 4*num, exact
+        if so_mode == "reference":
+            sa2_i = jnp.asarray(sum_a2).astype(jnp.int32)
+            den = (ni * sa2_i - (sa_i - 1) * sa_i).astype(jnp.float32)  # exact
+            s = jnp.where(jnp.abs(den) < 1e-5, 0.0,
+                          (num4 * 0.25) / jnp.where(den == 0, 1.0, den))
+        else:
+            sb2_16 = jnp.asarray(16.0 * jnp.asarray(sum_b2)).astype(jnp.int32)
+            den16 = (ni * sb2_16 - sb4 * sb4).astype(jnp.float32)  # 16*den, exact
+            # guard |den| < 1e-5: den is a multiple of 1/16, so that's den==0
+            s = jnp.where(den16 == 0, 0.0,
+                          (num4 * 4.0) / jnp.where(den16 == 0, 1.0, den16))
     else:
-        den = n * sum_b2 - sum_b * sum_b
+        if so_mode == "reference":
+            den = n * sum_a2 - (sum_a - 1.0) * sum_a
+        else:
+            den = n * sum_b2 - sum_b * sum_b
         num = n * sum_ab - sum_a * sum_b
-    s = jnp.where(jnp.abs(den) < 1e-5, 0.0, num / jnp.where(den == 0, 1.0, den))
+        s = jnp.where(jnp.abs(den) < 1e-5, 0.0, num / jnp.where(den == 0, 1.0, den))
     if s_max > 0.0:
         s = jnp.clip(s, -s_max, s_max)
     if so_mode == "reference":

@@ -41,6 +41,7 @@ from .codebook import build_codebook, extract_ranges
 from .matcher import search, search_pallas, search_pallas_classed
 
 __all__ = ["QuadtreeConfig", "QuadtreeResult", "encode_plane_quadtree",
+           "encode_batch_quadtree", "encode_batch_quadtree_sharded",
            "decode_plane_quadtree"]
 
 
@@ -219,6 +220,113 @@ def encode_plane_quadtree(plane, cfg: EncoderConfig | None = None,
     levels = _encode_quadtree_impl(plane, cfg, qcfg, backend, interpret,
                                    reporter=reporter)
     return QuadtreeResult(levels=levels, width=w, height=h)
+
+
+# ---------------------------------------------------------------------------
+# batch / multi-chip quadtree (BASELINE config 3 at scale)
+
+
+def _level_tuple(l: QuadtreeLevel):
+    return (l.domain_idx, l.transform, l.s, l.o, l.error, l.accepted)
+
+
+def _levels_from_tuples(tuples, sizes, qcfg: QuadtreeConfig, i: int | None):
+    pick = (lambda x: x) if i is None else (lambda x: x[i])
+    out = []
+    for rs, t in zip(sizes, tuples):
+        ds = rs * qcfg.domain_ratio
+        out.append(QuadtreeLevel(
+            domain_idx=pick(t[0]), transform=pick(t[1]), s=pick(t[2]),
+            o=pick(t[3]), error=pick(t[4]), accepted=pick(t[5]),
+            range_size=rs, domain_size=ds, domain_step=ds // qcfg.lattice,
+        ))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "qcfg", "backend",
+                                             "interpret"))
+def _encode_batch_quadtree_impl(planes, cfg: EncoderConfig,
+                                qcfg: QuadtreeConfig, backend: str,
+                                interpret: bool):
+    def one(plane):
+        levels = _encode_quadtree_impl(plane, cfg, qcfg, backend, interpret)
+        return tuple(_level_tuple(l) for l in levels)
+
+    # lax.map: frames stream through the per-level kernels sequentially in
+    # ONE device program (pallas_call doesn't vmap; same pattern as
+    # encoder.encode_batch)
+    return jax.lax.map(one, planes)
+
+
+def encode_batch_quadtree(planes, cfg: EncoderConfig | None = None,
+                          qcfg: QuadtreeConfig | None = None
+                          ) -> list[QuadtreeResult]:
+    """Quadtree-encode a [B, H, W] u8 batch in one device program."""
+    cfg = cfg or EncoderConfig()
+    qcfg = qcfg or QuadtreeConfig()
+    planes = jnp.asarray(planes, jnp.uint8)
+    b, h, w = planes.shape
+    if h % qcfg.max_size or w % qcfg.max_size:
+        raise ValueError("image not aligned to the coarsest range size")
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    interpret = jax.default_backend() != "tpu"
+    tuples = _encode_batch_quadtree_impl(planes, cfg, qcfg, backend, interpret)
+    return [
+        QuadtreeResult(
+            levels=_levels_from_tuples(tuples, qcfg.level_sizes, qcfg, i),
+            width=w, height=h,
+        )
+        for i in range(b)
+    ]
+
+
+def encode_batch_quadtree_sharded(planes, cfg: EncoderConfig,
+                                  qcfg: QuadtreeConfig, mesh
+                                  ) -> list[QuadtreeResult]:
+    """Quadtree batch encode data-parallel over the mesh's 'data' axis
+    (adaptive partitioning at pod scale — each device runs the full pyramid
+    on its local frames; no cross-frame communication exists to shard)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from ..parallel.mesh import DATA_AXIS
+
+    cfg = cfg or EncoderConfig()
+    qcfg = qcfg or QuadtreeConfig()
+    planes = jnp.asarray(planes, jnp.uint8)
+    b, h, w = planes.shape
+    if h % qcfg.max_size or w % qcfg.max_size:
+        raise ValueError("image not aligned to the coarsest range size")
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    interpret = jax.default_backend() != "tpu"
+    n_levels = len(qcfg.level_sizes)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def impl(planes):
+        def body(planes_local):
+            return _encode_batch_quadtree_impl(planes_local, cfg, qcfg,
+                                               backend, interpret)
+
+        spec = tuple(tuple([P(DATA_AXIS)] * 6) for _ in range(n_levels))
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P(DATA_AXIS, None, None),),
+            out_specs=spec,
+            check_vma=False,
+        )(planes)
+
+    tuples = impl(planes)
+    return [
+        QuadtreeResult(
+            levels=_levels_from_tuples(tuples, qcfg.level_sizes, qcfg, i),
+            width=w, height=h,
+        )
+        for i in range(b)
+    ]
 
 
 # ---------------------------------------------------------------------------

@@ -131,3 +131,49 @@ def test_raw_distance_normalized_by_domain_area():
     res = _run_search(source, grid, target_block, cfg)
     # sum of squared diffs = 4 * 4 = 16, normalized by domain area 16 -> 1.0
     np.testing.assert_allclose(float(res.distance[0]), 1.0)
+
+
+def test_pallas_backend_threshold_fallback(rng):
+    """rms_threshold > 0 must fall back to the oracle LOUDLY when the Pallas
+    backend is requested (the fused kernels don't implement the early-accept
+    frontier), and the result must equal the oracle's."""
+    import warnings
+
+    from fractencode_tpu import EncoderConfig, encode_plane
+
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    cfg_p = EncoderConfig(rms_threshold=30.0, backend="pallas",
+                          criterion="raw", so_mode="reference")
+    cfg_j = EncoderConfig(rms_threshold=30.0, backend="jnp",
+                          criterion="raw", so_mode="reference")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        res_p = encode_plane(img, cfg_p)
+    assert any("rms_threshold" in str(w.message) for w in caught)
+    res_j = encode_plane(img, cfg_j)
+    np.testing.assert_array_equal(
+        np.asarray(res_p.domain_idx), np.asarray(res_j.domain_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_p.transform), np.asarray(res_j.transform)
+    )
+
+
+def test_threshold_changes_winners(lenna_y):
+    """A nonzero threshold must actually engage the early-accept frontier
+    (first domain whose best distance <= threshold wins, even when a later
+    domain is strictly better).  Natural-image distances on Lenna sit in the
+    3..35 range (see the rms10 golden), so threshold 10 stops many scans."""
+    from fractencode_tpu import EncoderConfig, encode_plane
+
+    img = np.asarray(lenna_y)[:64, :64]
+    res0 = encode_plane(img, EncoderConfig(criterion="raw", so_mode="reference",
+                                           backend="jnp"))
+    res1 = encode_plane(img, EncoderConfig(criterion="raw", so_mode="reference",
+                                           backend="jnp", rms_threshold=10.0))
+    d0 = np.asarray(res0.domain_idx)
+    d1 = np.asarray(res1.domain_idx)
+    assert (d0 != d1).any()  # the frontier stopped some scans early
+    # and every early-accepted winner is at or below the threshold
+    changed = d0 != d1
+    assert (np.asarray(res1.distance)[changed] <= 10.0).all()

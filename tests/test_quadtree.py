@@ -112,3 +112,79 @@ def test_quadtree_bitstream_roundtrip(lenna_y):
     p_a = float(psnr(img, np.asarray(out_a)))
     p_b = float(psnr(img, np.asarray(out_b)))
     assert p_b > p_a - 3.0, (p_b, p_a)
+
+
+def test_batch_quadtree_matches_single(rng):
+    """encode_batch_quadtree == per-plane encode_plane_quadtree bitwise."""
+    from fractencode_tpu.encode.quadtree import (
+        QuadtreeConfig,
+        encode_batch_quadtree,
+        encode_plane_quadtree,
+    )
+    from fractencode_tpu.params import EncoderConfig
+
+    imgs = rng.integers(0, 256, size=(2, 64, 64), dtype=np.uint8)
+    cfg = EncoderConfig()
+    qcfg = QuadtreeConfig(min_size=4, max_size=16)
+    batch = encode_batch_quadtree(imgs, cfg, qcfg)
+    for i in range(2):
+        single = encode_plane_quadtree(imgs[i], cfg, qcfg)
+        for lb, ls in zip(batch[i].levels, single.levels):
+            np.testing.assert_array_equal(
+                np.asarray(lb.domain_idx), np.asarray(ls.domain_idx))
+            np.testing.assert_array_equal(
+                np.asarray(lb.accepted), np.asarray(ls.accepted))
+            np.testing.assert_array_equal(np.asarray(lb.s), np.asarray(ls.s))
+
+
+def test_sharded_quadtree_matches_single(rng):
+    """Quadtree batch over the mesh data axis (config 3 at pod scale)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ devices")
+    from fractencode_tpu.encode.quadtree import (
+        QuadtreeConfig,
+        encode_batch_quadtree_sharded,
+        encode_plane_quadtree,
+    )
+    from fractencode_tpu.parallel import make_mesh
+    from fractencode_tpu.params import EncoderConfig
+
+    imgs = rng.integers(0, 256, size=(2, 64, 64), dtype=np.uint8)
+    cfg = EncoderConfig()
+    qcfg = QuadtreeConfig(min_size=4, max_size=16)
+    mesh = make_mesh(n_data=2, n_search=1)
+    batch = encode_batch_quadtree_sharded(imgs, cfg, qcfg, mesh)
+    for i in range(2):
+        single = encode_plane_quadtree(imgs[i], cfg, qcfg)
+        for lb, ls in zip(batch[i].levels, single.levels):
+            np.testing.assert_array_equal(
+                np.asarray(lb.domain_idx), np.asarray(ls.domain_idx))
+            np.testing.assert_array_equal(
+                np.asarray(lb.accepted), np.asarray(ls.accepted))
+
+
+def test_sharded_quadtree_pallas_backend(rng):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ devices")
+    from fractencode_tpu.encode.quadtree import (
+        QuadtreeConfig,
+        encode_batch_quadtree_sharded,
+        encode_plane_quadtree,
+    )
+    from fractencode_tpu.parallel import make_mesh
+    from fractencode_tpu.params import EncoderConfig
+
+    imgs = rng.integers(0, 256, size=(2, 64, 64), dtype=np.uint8)
+    cfg = EncoderConfig(backend="pallas")
+    qcfg = QuadtreeConfig(min_size=4, max_size=16)
+    mesh = make_mesh(n_data=2, n_search=1)
+    batch = encode_batch_quadtree_sharded(imgs, cfg, qcfg, mesh)
+    for i in range(2):
+        single = encode_plane_quadtree(imgs[i], cfg, qcfg)
+        for lb, ls in zip(batch[i].levels, single.levels):
+            np.testing.assert_array_equal(
+                np.asarray(lb.domain_idx), np.asarray(ls.domain_idx))

@@ -91,3 +91,73 @@ def test_end_to_end_parity(our_result):
     out, _, _ = decode_plane(res)
     ref = np.asarray(Image.open(os.path.join(GOLDEN, "lenna128_cpp_result.png")).convert("L"))
     assert np.array_equal(np.asarray(out), ref)
+
+
+def _load_dump(name):
+    path = os.path.join(GOLDEN, name)
+    with gzip.open(path, "rt") as f:
+        dump = np.loadtxt(f)
+    rx = (dump[:, 0] // 4).astype(int)
+    ry = (dump[:, 1] // 4).astype(int)
+    out = np.zeros_like(dump)
+    out[ry * 32 + rx] = dump
+    return out
+
+
+_FLAG_CONFIGS = {
+    # reference flags -> (our config overrides, dump golden, result golden)
+    "rms10": (dict(rms_threshold=10.0), "lenna128_cpp_rms10.txt.gz",
+              "lenna128_cpp_result_rms10.png"),
+    "smax09": (dict(s_max=0.9), "lenna128_cpp_smax09.txt.gz",
+               "lenna128_cpp_result_smax09.png"),
+    "nocls": (dict(use_classifier=False), "lenna128_cpp_nocls.txt.gz",
+              "lenna128_cpp_result_nocls.png"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_FLAG_CONFIGS))
+def test_encoder_parity_flag_matrix(name):
+    """Winner parity for the reference's non-default flags: --rms > 0
+    (early-accept frontier, TransformEstimator2.hpp:40-41 +
+    transformmatcher.h:55-56), --smax (truncateSMax clamp,
+    transformmatcher.h:27-31), --noclassifier (DummyClassifier,
+    Classifier2.hpp:41-49).  Goldens regenerated from the patched reference
+    binary (scripts/build_reference.sh + the dump patch in BASELINE.md)."""
+    overrides, dump_name, _ = _FLAG_CONFIGS[name]
+    dump = _load_dump(dump_name)
+    y = load_gray(os.path.join(GOLDEN, "lenna128_input.png"))
+    res = encode_plane(y, REFERENCE_COMPAT(**overrides))
+    nx = (128 - 16) // 8 + 1
+    dom_idx_cpp = (dump[:, 5] // 8).astype(int) * nx + (dump[:, 4] // 8).astype(int)
+    assert np.array_equal(np.asarray(res.domain_idx), dom_idx_cpp)
+    assert np.array_equal(np.asarray(res.transform), dump[:, 8].astype(int))
+    np.testing.assert_allclose(np.asarray(res.distance), dump[:, 11],
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.s), dump[:, 9], rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(res.o), dump[:, 10], rtol=0, atol=0.1)
+
+
+@pytest.mark.parametrize("name", sorted(_FLAG_CONFIGS))
+def test_decode_parity_flag_matrix(name):
+    """Our full encode+decode under each flag config == the C++ result.png.
+
+    The smax config tolerates <=2 pixels off by 1 gray level: clamped
+    winners store s = f32(0.9) = 0.8999999762 while the reference applies
+    DOUBLE 0.9 in its decoder (truncateSMax, transformmatcher.h:27-31 +
+    DecodeUtils.hpp:22), and one Lenna pixel's s*v + o lands exactly on the
+    integer truncation boundary between the two.  Unclamped configs are
+    pixel-exact (s is correctly rounded from exact integer rationals; see
+    solve_so)."""
+    from PIL import Image
+
+    overrides, _, result_name = _FLAG_CONFIGS[name]
+    y = load_gray(os.path.join(GOLDEN, "lenna128_input.png"))
+    res = encode_plane(y, REFERENCE_COMPAT(**overrides))
+    out, _, _ = decode_plane(res)
+    ref = np.asarray(Image.open(os.path.join(GOLDEN, result_name)).convert("L"))
+    diff = np.abs(np.asarray(out).astype(int) - ref.astype(int))
+    if name == "smax09":
+        assert (diff > 0).sum() <= 2 and diff.max() <= 1, (
+            (diff > 0).sum(), diff.max())
+    else:
+        assert np.array_equal(np.asarray(out), ref)
