@@ -59,6 +59,17 @@ def _pair_ab_f32(a, c):
     )
 
 
+def _pair_ab_int8_raw(ai, ch, cl):
+    """The two int8 MXU passes of the SumAB decomposition (see _pair_ab_int8):
+    returns (abh, abl) i32 with 8*abh + abl = 4*SumAB - 512*SumB."""
+    dn = (((1,), (1,)), ((), ()))
+    abh = jax.lax.dot_general(ai, ch, dimension_numbers=dn,
+                              preferred_element_type=jnp.int32)
+    abl = jax.lax.dot_general(ai, cl, dimension_numbers=dn,
+                              preferred_element_type=jnp.int32)
+    return abh, abl
+
+
 def _pair_ab_int8(ai, ch, cl, sb):
     """Exact SumAB from the int8 decomposition (~4x the HIGHEST-f32 MXU rate).
 
@@ -73,12 +84,40 @@ def _pair_ab_int8(ai, ch, cl, sb):
     its f32 rendering are exact, so distances are bit-identical to the f32
     path.  ``sb`` is the [1, BM] SumB row that is already a kernel input.
     """
-    dn = (((1,), (1,)), ((), ()))
-    abh = jax.lax.dot_general(ai, ch, dimension_numbers=dn,
-                              preferred_element_type=jnp.int32)
-    abl = jax.lax.dot_general(ai, cl, dimension_numbers=dn,
-                              preferred_element_type=jnp.int32)
+    abh, abl = _pair_ab_int8_raw(ai, ch, cl)
     return (8 * abh + abl).astype(jnp.float32) * 0.25 + 128.0 * sb
+
+
+def _is_ls_fast(criterion: str, so_mode: str, s_max: float, use_int8: bool) -> bool:
+    return use_int8 and rank_mode(criterion, so_mode, s_max) == "ls"
+
+
+def _rank_ls_int8(abh, abl, sa, sb, aux, n: float):
+    """Fused all-integer epilogue for the default ('ls' rank + int8) path.
+
+    Exact identity (A := 8*abh + abl = 4*SumAB - 512*SumB, sb4 := 4*SumB):
+
+        cov4 = 4*(n*SumAB - SumA*SumB) = n*A + (128*n - SumA) * sb4
+
+    — every term fits i32 exactly for K <= INT8_MAX_K, so cov4 equals
+    _cov_exact's value integer-for-integer.  The key is then
+
+        q = f32(cov4)^2 * (aux * 2^-4)
+
+    which is BIT-IDENTICAL to _rank_tile's (f32(cov4)*0.25)^2 * aux: scaling
+    by powers of two is exact in binary FP and commutes with rounding, so
+    fl(fl((c*2^-2)^2)*aux) == fl(fl(c^2)*fl(aux*2^-4)).  5 i32 + 3 f32
+    element passes replace the ~15 of the generic combine+_cov_exact chain —
+    the measured kernel epilogue was ~60% of the step time.
+    """
+    ni = int(n)
+    sa_i = sa.astype(jnp.int32)  # [BR, 1]
+    sb4 = (4.0 * sb).astype(jnp.int32)  # [1, BM]
+    aux16 = aux * 0.0625  # exact
+    a_comb = 8 * abh + abl
+    cov4 = ni * a_comb + (128 * ni - sa_i) * sb4
+    cov4f = cov4.astype(jnp.float32)
+    return (cov4f * cov4f) * aux16
 
 
 def _search_kernel(
@@ -116,23 +155,31 @@ def _search_kernel(
     sb = sb_ref[:]  # [1, BM]
     n = float(k)
 
-    # MXU: SumAB for all pairs in this tile — [BR, BM] f32, exact either way.
-    if use_int8:
+    ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
+    # MXU: SumAB for all pairs in this tile — exact either way.
+    if ls_fast:
+        abh, abl = _pair_ab_int8_raw(ai_ref[:], ch_ref[:], cl_ref[:])
+        q = _rank_ls_int8(abh, abl, sa, sb, aux_ref[:], n)
+    elif use_int8:
         ab = _pair_ab_int8(ai_ref[:], ch_ref[:], cl_ref[:], sb)
+        q = _rank_tile(ab, sa, sa2, sb, aux_ref[:], criterion=criterion,
+                       so_mode=so_mode, s_max=s_max, inv_norm=inv_norm, n=n)
     else:
         ab = _pair_ab_f32(a_ref[:], c_ref[:])
-
-    q = _rank_tile(ab, sa, sa2, sb, aux_ref[:], criterion=criterion,
-                   so_mode=so_mode, s_max=s_max, inv_norm=inv_norm, n=n)
+        q = _rank_tile(ab, sa, sa2, sb, aux_ref[:], criterion=criterion,
+                       so_mode=so_mode, s_max=s_max, inv_norm=inv_norm, n=n)
 
     if use_classes:
         mask = rcls_ref[:] == ccls_ref[:]  # [BR, BM] via broadcast
         q = jnp.where(mask, q, -_BIG)
-
-    # mask padded codebook columns (static tail; their zero vectors would
-    # otherwise produce spurious keys)
-    col = j * bm + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
-    q = jnp.where(col < m_valid, q, -_BIG)
+    elif not ls_fast:
+        # mask padded codebook columns (static tail; their zero vectors would
+        # otherwise produce spurious keys).  With classes the padded tail has
+        # a non-matching class; on the ls_fast path zero-padded columns give
+        # exactly q = 0 >= no real key and sit after every real column, so
+        # first-occurrence ties keep them from ever winning.
+        col = j * bm + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
+        q = jnp.where(col < m_valid, q, -_BIG)
 
     # tile-local argmax with EXPLICIT first-occurrence tie-break (= lowest
     # column index = the reference's argmin-dist tie rule; q is strictly
@@ -294,18 +341,34 @@ def _classed_kernel(
 
     @pl.when(active)
     def _compute():
-        if use_int8:
+        ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
+        if ls_fast:
+            abh, abl = _pair_ab_int8_raw(ai_ref[:], ch_ref[:], cl_ref[:])
+            q = _rank_ls_int8(abh, abl, sa_ref[:], sb_ref[:], aux_ref[:],
+                              float(k))
+        elif use_int8:
             ab = _pair_ab_int8(ai_ref[:], ch_ref[:], cl_ref[:], sb_ref[:])
+            q = _rank_tile(
+                ab, sa_ref[:], sa2_ref[:], sb_ref[:], aux_ref[:],
+                criterion=criterion, so_mode=so_mode, s_max=s_max,
+                inv_norm=inv_norm, n=float(k),
+            )
         else:
             ab = _pair_ab_f32(a_ref[:], c_ref[:])
-        q = _rank_tile(
-            ab, sa_ref[:], sa2_ref[:], sb_ref[:], aux_ref[:],
-            criterion=criterion, so_mode=so_mode, s_max=s_max,
-            inv_norm=inv_norm, n=float(k),
-        )
+            q = _rank_tile(
+                ab, sa_ref[:], sa2_ref[:], sb_ref[:], aux_ref[:],
+                criterion=criterion, so_mode=so_mode, s_max=s_max,
+                inv_norm=inv_norm, n=float(k),
+            )
         col0 = (col_tile_start_ref[cls] + j) * bm
-        col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
-        q = jnp.where(col < col_end_ref[cls], q, -_BIG)
+        if ls_fast:
+            # zero-padded slots in the class segment's last tile give exactly
+            # q = 0 and sit after every real column: first-occurrence ties
+            # keep them from winning, no explicit mask needed
+            col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
+        else:
+            col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
+            q = jnp.where(col < col_end_ref[cls], q, -_BIG)
 
         # explicit first-occurrence argmax; see _search_kernel
         tile_q = jnp.max(q, axis=1, keepdims=True)
@@ -383,18 +446,31 @@ def _pairs_kernel(
 
     @pl.when(compute == 1)
     def _compute():
-        if use_int8:
+        ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
+        if ls_fast:
+            abh, abl = _pair_ab_int8_raw(ai_ref[:], ch_ref[:], cl_ref[:])
+            q = _rank_ls_int8(abh, abl, sa_ref[:], sb_ref[:], aux_ref[:],
+                              float(k))
+        elif use_int8:
             ab = _pair_ab_int8(ai_ref[:], ch_ref[:], cl_ref[:], sb_ref[:])
+            q = _rank_tile(
+                ab, sa_ref[:], sa2_ref[:], sb_ref[:], aux_ref[:],
+                criterion=criterion, so_mode=so_mode, s_max=s_max,
+                inv_norm=inv_norm, n=float(k),
+            )
         else:
             ab = _pair_ab_f32(a_ref[:], c_ref[:])
-        q = _rank_tile(
-            ab, sa_ref[:], sa2_ref[:], sb_ref[:], aux_ref[:],
-            criterion=criterion, so_mode=so_mode, s_max=s_max,
-            inv_norm=inv_norm, n=float(k),
-        )
+            q = _rank_tile(
+                ab, sa_ref[:], sa2_ref[:], sb_ref[:], aux_ref[:],
+                criterion=criterion, so_mode=so_mode, s_max=s_max,
+                inv_norm=inv_norm, n=float(k),
+            )
         col0 = ct * bm
-        col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
-        q = jnp.where(col < col_end_ref[tile_class_ref[rt]], q, -_BIG)
+        if not ls_fast:
+            # ls_fast: zero-padded segment slots give q = 0 after every real
+            # column; first-occurrence ties exclude them without a mask
+            col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
+            q = jnp.where(col < col_end_ref[tile_class_ref[rt]], q, -_BIG)
 
         # explicit first-occurrence argmax; see _search_kernel
         tile_q = jnp.max(q, axis=1, keepdims=True)
