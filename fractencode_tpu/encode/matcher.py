@@ -316,14 +316,37 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     inv_col = jnp.full((m_pad,), m, jnp.int32).at[cpos].set(
         jnp.arange(m, dtype=jnp.int32)
     )
-    pad_row = jnp.zeros((1, k), jnp.float32)
     pad_1 = jnp.zeros((1,), jnp.float32)
-    ranges_s = jnp.concatenate([ranges, pad_row])[inv_r]
     sa_s = jnp.concatenate([sum_a, pad_1])[inv_r]
     sa2_s = jnp.concatenate([sum_a2, pad_1])[inv_r]
-    cb_s = jnp.concatenate([cb_cols, pad_row])[inv_col]
     sb_s = jnp.concatenate([sb, pad_1])[inv_col]
     aux_s = jnp.concatenate([aux, pad_1])[inv_col]
+
+    from ..ops.matcher_pallas import INT8_MAX_K
+
+    use_int8 = cfg.int8_matmul and k <= INT8_MAX_K
+    if use_int8:
+        # Convert to the kernel's int8 operands BEFORE the row gathers: the
+        # sorted-layout permutation commutes with the elementwise conversion
+        # and the gathers move 4x fewer bytes (the two f32 row gathers were
+        # the bulk of the prep stage at 2K+).  b4_cols (pre-sort, i16) is
+        # kept for the winner (s,o) solve in classed_post — one i16 gather
+        # there replaces the f32 winner-row gather, exactly.
+        ai = (ranges.astype(jnp.int32) - 128).astype(jnp.int8)
+        b4_cols = jnp.round(cb_cols * 4.0).astype(jnp.int16)  # [m, k]
+        ch = (b4_cols >> 3).astype(jnp.int8)
+        cl = (b4_cols & 7).astype(jnp.int8)
+        pad_row8 = jnp.zeros((1, k), jnp.int8)
+        ai_s = jnp.concatenate([ai, pad_row8])[inv_r]
+        ch_s = jnp.concatenate([ch, pad_row8])[inv_col]
+        cl_s = jnp.concatenate([cl, pad_row8])[inv_col]
+        ranges_s = None
+        cb_s = None
+    else:
+        pad_row = jnp.zeros((1, k), jnp.float32)
+        ranges_s = jnp.concatenate([ranges, pad_row])[inv_r]
+        cb_s = jnp.concatenate([cb_cols, pad_row])[inv_col]
+        ai_s = ch_s = cl_s = b4_cols = None
 
     # per-range-tile class (tiles beyond the last class are padding -> 7)
     nrt = r_pad // block_r
@@ -363,6 +386,7 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     return dict(
         ranges_s=ranges_s, sa_s=sa_s, sa2_s=sa2_s,
         cb_s=cb_s, sb_s=sb_s, aux_s=aux_s,
+        ai_s=ai_s, ch_s=ch_s, cl_s=cl_s, b4_cols=b4_cols,
         pairs=pairs, n_pairs=n_pairs,
         tile_class=tile_class, col_tile_start=col_tile_start,
         col_tile_count=col_tile_count, col_end=col_end,
@@ -384,6 +408,8 @@ def classed_kernel(prep: dict, k: int, domain_area: int, block_r: int,
         fused_search_pairs,
     )
 
+    use_int8 = cfg.int8_matmul and k <= INT8_MAX_K
+    int8_ops = (prep["ai_s"], prep["ch_s"], prep["cl_s"]) if use_int8 else None
     common = dict(
         criterion=cfg.criterion,
         so_mode=cfg.so_mode,
@@ -393,7 +419,8 @@ def classed_kernel(prep: dict, k: int, domain_area: int, block_r: int,
         ),
         block_r=block_r,
         block_m=block_m,
-        use_int8=cfg.int8_matmul and k <= INT8_MAX_K,
+        use_int8=use_int8,
+        int8_ops=int8_ops,
         interpret=interpret,
     )
 
@@ -424,14 +451,18 @@ def classed_kernel(prep: dict, k: int, domain_area: int, block_r: int,
 
 
 def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
-                 cb: Codebook, cfg: EncoderConfig) -> SearchResult:
+                 cb: Codebook, cfg: EncoderConfig, b4_cols=None) -> SearchResult:
     """Map sorted-layout kernel outputs back to original range order and
-    solve (s, o) for the winners (pure jnp, vmappable)."""
+    solve (s, o) for the winners (pure jnp, vmappable).
+
+    ``b4_cols`` ([m, k] i16, 4x the codebook values in search order, from
+    classed_prep's int8 path): when given, the winner SumAB comes from one
+    i16 row gather + integer dot — exact and 4x less gather traffic than the
+    f32 winner-row gather."""
     r, k = ranges.shape
     d, t, _ = cb.values.shape
     m = d * t
     m_pad = inv_col.shape[0]
-    cb_cols = cb.values[:, ::-1, :].reshape(m, k)
     sb = cb.sum[:, ::-1].reshape(m)
     sb2 = cb.sum_sq[:, ::-1].reshape(m)
 
@@ -443,8 +474,17 @@ def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
     win_d = win_m // t
     win_t = (t - 1) - (win_m % t)
 
-    win_rows = cb_cols[win_m]
-    sum_ab = (ranges * win_rows).sum(axis=-1)
+    if b4_cols is not None:
+        b4_win = b4_cols[win_m].astype(jnp.int32)  # [R, k]
+        # SumAB = (sum_k A*4B) / 4 — exact i32 (<= 2^24), exact f32 render
+        sum_ab = (
+            (ranges.astype(jnp.int32) * b4_win).sum(axis=-1).astype(jnp.float32)
+            * 0.25
+        )
+    else:
+        cb_cols = cb.values[:, ::-1, :].reshape(m, k)
+        win_rows = cb_cols[win_m]
+        sum_ab = (ranges * win_rows).sum(axis=-1)
     s, o = solve_so(sum_a, sum_a2, sb[win_m], sb2[win_m], sum_ab, float(k),
                     cfg.so_mode, cfg.s_max)
     s = jnp.where(valid, s, 0.0)
@@ -498,7 +538,8 @@ def search_pallas_classed(
         worst_pairs, cfg, interpret,
     )
     return classed_post(dist_s, idx_s, q_s, prep["rpos"], prep["inv_col"],
-                        ranges, sum_a, sum_a2, cb, cfg)
+                        ranges, sum_a, sum_a2, cb, cfg,
+                        b4_cols=prep["b4_cols"])
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))

@@ -507,13 +507,23 @@ def fused_search_pairs(
     block_m: int,
     p_cap: int,
     use_int8: bool = False,
+    int8_ops=None,  # optional preconverted (ai, ch, cl) int8 arrays
     interpret: bool = False,
 ):
     """Pair-list variant of fused_search_classed (same results; see
     _pairs_kernel).  The caller guarantees n_pairs <= p_cap and that every
     range tile contributes at least one (possibly compute=0) pair so its
-    output block is initialized."""
-    r_pad, k = ranges_sorted.shape
+    output block is initialized.
+
+    ``int8_ops`` lets the caller supply the int8 operands already in sorted
+    layout (converted BEFORE the layout gathers — 4x less gather traffic);
+    ``ranges_sorted``/``cb_sorted`` may then be None.
+    """
+    if int8_ops is not None:
+        assert use_int8
+        r_pad, k = int8_ops[0].shape
+    else:
+        r_pad, k = ranges_sorted.shape
     assert r_pad % block_r == 0
     assert not (use_int8 and k > INT8_MAX_K)
 
@@ -540,7 +550,10 @@ def fused_search_pairs(
     csum_spec = pl.BlockSpec((1, block_m), lambda p, *s: (0, _ct(p, *s)))
 
     if use_int8:
-        ai, ch, cl = _int8_operands(ranges_sorted, cb_sorted)
+        if int8_ops is not None:
+            ai, ch, cl = int8_ops
+        else:
+            ai, ch, cl = _int8_operands(ranges_sorted, cb_sorted)
         tensor_args = (ai,
                        sum_a_sorted.reshape(-1, 1),
                        sum_a2_sorted.reshape(-1, 1),
@@ -621,6 +634,7 @@ def fused_search_classed(
     block_r: int = DEFAULT_BR,
     block_m: int = DEFAULT_BM,
     use_int8: bool = False,
+    int8_ops=None,  # optional preconverted (ai, ch, cl) int8 arrays
     interpret: bool = False,
 ):
     """Class-blocked search: each range tile only visits its class's column
@@ -631,8 +645,13 @@ def fused_search_classed(
 
     Returns (best_dist [R_pad], best_idx [R_pad] in sorted-column units).
     """
-    r_pad, k = ranges_sorted.shape
-    m_pad = cb_sorted.shape[0]
+    if int8_ops is not None:
+        assert use_int8
+        r_pad, k = int8_ops[0].shape
+        m_pad = int8_ops[1].shape[0]
+    else:
+        r_pad, k = ranges_sorted.shape
+        m_pad = cb_sorted.shape[0]
     assert r_pad % block_r == 0 and m_pad % block_m == 0
     assert not (use_int8 and k > INT8_MAX_K)
     nrt = r_pad // block_r
@@ -666,7 +685,10 @@ def fused_search_classed(
                              lambda i, j, *s: (0, col_index(i, j, *s)))
 
     if use_int8:
-        ai, ch, cl = _int8_operands(ranges_sorted, cb_sorted)
+        if int8_ops is not None:
+            ai, ch, cl = int8_ops
+        else:
+            ai, ch, cl = _int8_operands(ranges_sorted, cb_sorted)
         tensor_args = (ai,
                        sum_a_sorted.reshape(-1, 1),
                        sum_a2_sorted.reshape(-1, 1),

@@ -41,6 +41,16 @@ range_grid = uniform_grid(w, h, cfg.target_size, cfg.target_size)
 K = cfg.target_size ** 2
 
 
+def _checksum(*arrays):
+    # full reductions force every output to be fully computed while keeping
+    # the host transfer to ONE scalar for every variant (the tunnel RTT per
+    # pull is ~15-40 ms and would otherwise dominate the deltas)
+    acc = jnp.float32(0)
+    for a in arrays:
+        acc = acc + jnp.sum(a.astype(jnp.float32))
+    return acc
+
+
 def pipeline(p, upto: str):
     pf = p.astype(jnp.float32)
     cb = build_codebook(pf, domain_grid, cfg.target_size, cfg.num_transforms)
@@ -48,24 +58,27 @@ def pipeline(p, upto: str):
     sum_a = ranges.sum(-1)
     sum_a2 = (ranges * ranges).sum(-1)
     if upto == "codebook":
-        return cb.sum, sum_a
+        return _checksum(cb.values, sum_a, sum_a2)
     dcls = classify_grid(p, domain_grid)
     rcls = classify_grid(p, range_grid)
     if upto == "classify":
-        return cb.sum, sum_a, dcls, rcls
+        return _checksum(cb.values, sum_a, sum_a2, dcls, rcls)
     prep = classed_prep(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg)
     if upto == "prep":
-        return prep["ranges_s"], prep["cb_s"], prep["pairs"]
+        big = prep["ranges_s"] if prep["ranges_s"] is not None else prep["ai_s"]
+        cols = prep["cb_s"] if prep["cb_s"] is not None else prep["ch_s"]
+        return _checksum(big, cols, prep["sb_s"], prep["aux_s"],
+                         prep["pairs"], prep["rpos"], prep["inv_col"])
     r, _ = ranges.shape
     d, t, _ = cb.values.shape
     block_r, block_m, _, _, worst_pairs, p_cap = _classed_statics(r, d * t, cfg)
     dist_s, idx_s, q_s = classed_kernel(prep, K, cfg.source_size ** 2, block_r,
                                         block_m, p_cap, worst_pairs, cfg, False)
     if upto == "kernel":
-        return dist_s, idx_s
+        return _checksum(dist_s, idx_s, prep["rpos"], prep["inv_col"])
     res = classed_post(dist_s, idx_s, q_s, prep["rpos"], prep["inv_col"],
-                       ranges, sum_a, sum_a2, cb, cfg)
-    return res.domain_idx, res.s, res.o
+                       ranges, sum_a, sum_a2, cb, cfg, b4_cols=prep["b4_cols"])
+    return _checksum(res.domain_idx, res.s, res.o, res.distance)
 
 
 STAGES = ["codebook", "classify", "prep", "kernel", "post"]
@@ -74,15 +87,11 @@ fns = {s: jax.jit(lambda p, s=s: pipeline(p, s)) for s in STAGES}
 prev = 0.0
 for s in STAGES:
     out = fns[s](plane)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+    float(out)
     ts = []
-    for _ in range(6):
+    for _ in range(8):
         t0 = time.perf_counter()
-        out = fns[s](plane)
-        np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
-        # pull one element of EVERY output so nothing is skipped lazily
-        for leaf in jax.tree_util.tree_leaves(out):
-            np.asarray(leaf.reshape(-1)[0])
+        float(fns[s](plane))
         ts.append(time.perf_counter() - t0)
     cum = min(ts)
     print(f"{s:>9}: cumulative {cum * 1e3:8.2f} ms   delta {(cum - prev) * 1e3:8.2f} ms")
