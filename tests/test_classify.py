@@ -4,6 +4,7 @@ The Lenna-coordinate goldens are transcribed from the reference test fixture
 (/root/reference/tests/ClassifierTest.cpp:24-41); they pin the full pipeline
 (YUV conversion -> quadrant sums -> 24-condition class logic).
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -120,3 +121,22 @@ def test_classify_grid_matches_manual(lenna_y):
     q = np.asarray(quadrant_sums(img, g))
     expect = [scalar_reference_category(*row.tolist()) for row in q]
     assert got.tolist() == expect
+
+
+def test_code_table_matches_condition_chains(rng):
+    """The 12-bit order-code lookup must equal the direct 24-chain
+    transcription on exhaustive small inputs (incl. ties)."""
+    import itertools
+
+    from fractencode_tpu.core.classify import (
+        _classify_from_quadrants_conditions,
+        classify_from_quadrants,
+    )
+
+    # all 4^4 = 256 tie-rich quadrant patterns + random large values
+    small = np.array(list(itertools.product(range(4), repeat=4)), np.int32)
+    big = rng.integers(0, 2**20, size=(2048, 4)).astype(np.int32)
+    for quads in (small, big):
+        a = _classify_from_quadrants_conditions(jnp.asarray(quads))
+        b = classify_from_quadrants(jnp.asarray(quads))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
