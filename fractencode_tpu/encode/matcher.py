@@ -317,14 +317,20 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
         jnp.arange(m, dtype=jnp.int32)
     )
     pad_1 = jnp.zeros((1,), jnp.float32)
-    sa_s = jnp.concatenate([sum_a, pad_1])[inv_r]
-    sa2_s = jnp.concatenate([sum_a2, pad_1])[inv_r]
     sb_s = jnp.concatenate([sb, pad_1])[inv_col]
     aux_s = jnp.concatenate([aux, pad_1])[inv_col]
 
-    from ..ops.matcher_pallas import INT8_MAX_K
+    from ..ops.matcher_pallas import INT8_MAX_K, _is_ls_fast
 
     use_int8 = cfg.int8_matmul and k <= INT8_MAX_K
+    if _is_ls_fast(cfg.criterion, cfg.so_mode, cfg.s_max, use_int8):
+        # the kernel derives SumA from its resident int8 tiles and the
+        # q -> dist conversion happens after unsorting (classed_post), so
+        # the sorted per-row sums are never needed at all
+        sa_s = sa2_s = None
+    else:
+        sa_s = jnp.concatenate([sum_a, pad_1])[inv_r]
+        sa2_s = jnp.concatenate([sum_a2, pad_1])[inv_r]
     if use_int8:
         # Convert to the kernel's int8 operands BEFORE the row gathers: the
         # sorted-layout permutation commutes with the elementwise conversion
@@ -466,7 +472,24 @@ def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
     sb = cb.sum[:, ::-1].reshape(m)
     sb2 = cb.sum_sq[:, ::-1].reshape(m)
 
-    dist = dist_s[rpos]  # [R]
+    if dist_s is None:
+        # ls_fast path: convert the winner's rank key to a distance AFTER
+        # unsorting, against the original-order row sums (elementwise and
+        # permutation-invariant — bit-identical to converting pre-sort)
+        from ..ops.matcher_pallas import rank_to_dist
+
+        inv_norm = (
+            1.0 / (cb.grid.block_size ** 2)
+            if cfg.criterion == "raw"
+            else 1.0 / k
+        )
+        dist = rank_to_dist(
+            q_s[rpos], sum_a2, sum_a,
+            criterion=cfg.criterion, so_mode=cfg.so_mode, s_max=cfg.s_max,
+            inv_norm=inv_norm, n=float(k),
+        )
+    else:
+        dist = dist_s[rpos]  # [R]
     win_sorted = idx_s[rpos]
     valid = dist < _BIG
     win_m = jnp.where(valid, inv_col[jnp.clip(win_sorted, 0, m_pad - 1)], 0)

@@ -92,7 +92,7 @@ def _is_ls_fast(criterion: str, so_mode: str, s_max: float, use_int8: bool) -> b
     return use_int8 and rank_mode(criterion, so_mode, s_max) == "ls"
 
 
-def _rank_ls_int8(abh, abl, sa, sb, aux, n: float):
+def _rank_ls_int8(ai, abh, abl, sb, aux, n: float):
     """Fused all-integer epilogue for the default ('ls' rank + int8) path.
 
     Exact identity (A := 8*abh + abl = 4*SumAB - 512*SumB, sb4 := 4*SumB):
@@ -100,7 +100,10 @@ def _rank_ls_int8(abh, abl, sa, sb, aux, n: float):
         cov4 = 4*(n*SumAB - SumA*SumB) = n*A + (128*n - SumA) * sb4
 
     — every term fits i32 exactly for K <= INT8_MAX_K, so cov4 equals
-    _cov_exact's value integer-for-integer.  The key is then
+    _cov_exact's value integer-for-integer.  SumA itself is derived from the
+    resident int8 range tile (SumA = rowsum(ai) + 128*n, exact), so the
+    kernel needs NO per-row sum inputs at all — that removes two sorted
+    scalar gathers (+ their SMEM copies) from the prep stage.  The key is
 
         q = f32(cov4)^2 * (aux * 2^-4)
 
@@ -111,7 +114,7 @@ def _rank_ls_int8(abh, abl, sa, sb, aux, n: float):
     the measured kernel epilogue was ~60% of the step time.
     """
     ni = int(n)
-    sa_i = sa.astype(jnp.int32)  # [BR, 1]
+    sa_i = ai.astype(jnp.int32).sum(axis=1, keepdims=True) + 128 * ni  # [BR, 1]
     sb4 = (4.0 * sb).astype(jnp.int32)  # [1, BM]
     aux16 = aux * 0.0625  # exact
     a_comb = 8 * abh + abl
@@ -159,7 +162,7 @@ def _search_kernel(
     # MXU: SumAB for all pairs in this tile — exact either way.
     if ls_fast:
         abh, abl = _pair_ab_int8_raw(ai_ref[:], ch_ref[:], cl_ref[:])
-        q = _rank_ls_int8(abh, abl, sa, sb, aux_ref[:], n)
+        q = _rank_ls_int8(ai_ref[:], abh, abl, sb, aux_ref[:], n)
     elif use_int8:
         ab = _pair_ab_int8(ai_ref[:], ch_ref[:], cl_ref[:], sb)
         q = _rank_tile(ab, sa, sa2, sb, aux_ref[:], criterion=criterion,
@@ -318,7 +321,13 @@ def _classed_kernel(
     k: int,
     use_int8: bool,
 ):
-    if use_int8:
+    _ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
+    if _ls_fast:
+        # per-row sums are derived in-kernel from the int8 tiles
+        (tile_class_ref, col_tile_start_ref, col_tile_count_ref, col_end_ref,
+         ai_ref, ch_ref, cl_ref, sb_ref, aux_ref,
+         q_out, idx_out, best_q, best_idx) = refs
+    elif use_int8:
         (tile_class_ref, col_tile_start_ref, col_tile_count_ref, col_end_ref,
          ai_ref, sa_ref, sa2_ref, ch_ref, cl_ref, sb_ref, aux_ref,
          q_out, idx_out, best_q, best_idx) = refs
@@ -344,7 +353,7 @@ def _classed_kernel(
         ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
         if ls_fast:
             abh, abl = _pair_ab_int8_raw(ai_ref[:], ch_ref[:], cl_ref[:])
-            q = _rank_ls_int8(abh, abl, sa_ref[:], sb_ref[:], aux_ref[:],
+            q = _rank_ls_int8(ai_ref[:], abh, abl, sb_ref[:], aux_ref[:],
                               float(k))
         elif use_int8:
             ab = _pair_ab_int8(ai_ref[:], ch_ref[:], cl_ref[:], sb_ref[:])
@@ -425,7 +434,10 @@ def _pairs_kernel(
     ~40% of the kernel).  The best-(q, idx) accumulators live directly in the
     output blocks, which stay VMEM-resident while consecutive pairs share the
     same range tile (pairs are sorted by range tile)."""
-    if use_int8:
+    _ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
+    if _ls_fast:
+        (ai_ref, ch_ref, cl_ref, sb_ref, aux_ref, q_out, idx_out) = refs
+    elif use_int8:
         (ai_ref, sa_ref, sa2_ref, ch_ref, cl_ref, sb_ref, aux_ref,
          q_out, idx_out) = refs
     else:
@@ -449,7 +461,7 @@ def _pairs_kernel(
         ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
         if ls_fast:
             abh, abl = _pair_ab_int8_raw(ai_ref[:], ch_ref[:], cl_ref[:])
-            q = _rank_ls_int8(abh, abl, sa_ref[:], sb_ref[:], aux_ref[:],
+            q = _rank_ls_int8(ai_ref[:], abh, abl, sb_ref[:], aux_ref[:],
                               float(k))
         elif use_int8:
             ab = _pair_ab_int8(ai_ref[:], ch_ref[:], cl_ref[:], sb_ref[:])
@@ -549,19 +561,28 @@ def fused_search_pairs(
     col_spec = pl.BlockSpec((block_m, k), lambda p, *s: (_ct(p, *s), 0))
     csum_spec = pl.BlockSpec((1, block_m), lambda p, *s: (0, _ct(p, *s)))
 
+    ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
     if use_int8:
         if int8_ops is not None:
             ai, ch, cl = int8_ops
         else:
             ai, ch, cl = _int8_operands(ranges_sorted, cb_sorted)
-        tensor_args = (ai,
-                       sum_a_sorted.reshape(-1, 1),
-                       sum_a2_sorted.reshape(-1, 1),
-                       ch, cl,
-                       sb_sorted.reshape(1, -1),
-                       aux_sorted.reshape(1, -1))
-        in_specs = [row_spec, rsum_spec, rsum_spec,
-                    col_spec, col_spec, csum_spec, csum_spec]
+        if ls_fast:
+            # per-row sums derived in-kernel (see _rank_ls_int8): no sum
+            # inputs at all
+            tensor_args = (ai, ch, cl,
+                           sb_sorted.reshape(1, -1),
+                           aux_sorted.reshape(1, -1))
+            in_specs = [row_spec, col_spec, col_spec, csum_spec, csum_spec]
+        else:
+            tensor_args = (ai,
+                           sum_a_sorted.reshape(-1, 1),
+                           sum_a2_sorted.reshape(-1, 1),
+                           ch, cl,
+                           sb_sorted.reshape(1, -1),
+                           aux_sorted.reshape(1, -1))
+            in_specs = [row_spec, rsum_spec, rsum_spec,
+                        col_spec, col_spec, csum_spec, csum_spec]
     else:
         tensor_args = (ranges_sorted,
                        sum_a_sorted.reshape(-1, 1),
@@ -602,11 +623,17 @@ def fused_search_pairs(
         col_end.astype(jnp.int32),
         *tensor_args,
     )
-    dist = rank_to_dist(
-        q.reshape(-1), sum_a2_sorted, sum_a_sorted,
-        criterion=criterion, so_mode=so_mode, s_max=s_max,
-        inv_norm=inv_norm, n=float(k),
-    )
+    if sum_a_sorted is None:
+        # ls_fast sorted path: the caller converts q -> dist AFTER mapping
+        # back to original range order (rank_to_dist is elementwise, so the
+        # values are identical and the sorted per-row sums never exist)
+        dist = None
+    else:
+        dist = rank_to_dist(
+            q.reshape(-1), sum_a2_sorted, sum_a_sorted,
+            criterion=criterion, so_mode=so_mode, s_max=s_max,
+            inv_norm=inv_norm, n=float(k),
+        )
     return dist, idx.reshape(-1), q.reshape(-1)
 
 
@@ -684,19 +711,28 @@ def fused_search_classed(
     csum_spec = pl.BlockSpec((1, block_m),
                              lambda i, j, *s: (0, col_index(i, j, *s)))
 
+    ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
     if use_int8:
         if int8_ops is not None:
             ai, ch, cl = int8_ops
         else:
             ai, ch, cl = _int8_operands(ranges_sorted, cb_sorted)
-        tensor_args = (ai,
-                       sum_a_sorted.reshape(-1, 1),
-                       sum_a2_sorted.reshape(-1, 1),
-                       ch, cl,
-                       sb_sorted.reshape(1, -1),
-                       aux_sorted.reshape(1, -1))
-        in_specs = [row_spec, rsum_spec, rsum_spec,
-                    col_spec, col_spec, csum_spec, csum_spec]
+        if ls_fast:
+            # per-row sums derived in-kernel (see _rank_ls_int8): no sum
+            # inputs at all
+            tensor_args = (ai, ch, cl,
+                           sb_sorted.reshape(1, -1),
+                           aux_sorted.reshape(1, -1))
+            in_specs = [row_spec, col_spec, col_spec, csum_spec, csum_spec]
+        else:
+            tensor_args = (ai,
+                           sum_a_sorted.reshape(-1, 1),
+                           sum_a2_sorted.reshape(-1, 1),
+                           ch, cl,
+                           sb_sorted.reshape(1, -1),
+                           aux_sorted.reshape(1, -1))
+            in_specs = [row_spec, rsum_spec, rsum_spec,
+                        col_spec, col_spec, csum_spec, csum_spec]
     else:
         tensor_args = (ranges_sorted,
                        sum_a_sorted.reshape(-1, 1),
@@ -742,11 +778,17 @@ def fused_search_classed(
         col_end.astype(jnp.int32),
         *tensor_args,
     )
-    dist = rank_to_dist(
-        q.reshape(-1), sum_a2_sorted, sum_a_sorted,
-        criterion=criterion, so_mode=so_mode, s_max=s_max,
-        inv_norm=inv_norm, n=float(k),
-    )
+    if sum_a_sorted is None:
+        # ls_fast sorted path: the caller converts q -> dist AFTER mapping
+        # back to original range order (rank_to_dist is elementwise, so the
+        # values are identical and the sorted per-row sums never exist)
+        dist = None
+    else:
+        dist = rank_to_dist(
+            q.reshape(-1), sum_a2_sorted, sum_a_sorted,
+            criterion=criterion, so_mode=so_mode, s_max=s_max,
+            inv_norm=inv_norm, n=float(k),
+        )
     return dist, idx.reshape(-1), q.reshape(-1)
 
 

@@ -75,7 +75,7 @@ def pipeline(p, upto: str):
     dist_s, idx_s, q_s = classed_kernel(prep, K, cfg.source_size ** 2, block_r,
                                         block_m, p_cap, worst_pairs, cfg, False)
     if upto == "kernel":
-        return _checksum(dist_s, idx_s, prep["rpos"], prep["inv_col"])
+        return _checksum(q_s, idx_s, prep["rpos"], prep["inv_col"])
     res = classed_post(dist_s, idx_s, q_s, prep["rpos"], prep["inv_col"],
                        ranges, sum_a, sum_a2, cb, cfg, b4_cols=prep["b4_cols"])
     return _checksum(res.domain_idx, res.s, res.o, res.distance)
