@@ -115,12 +115,15 @@ def classify_from_quadrants(quads: jnp.ndarray) -> jnp.ndarray:
     return jnp.asarray(_order_code_table())[code]
 
 
-def classify_grid(plane, grid, ii=None) -> jnp.ndarray:
+def classify_grid(plane, grid, ii=None, sums2x2=None) -> jnp.ndarray:
     """[num_items] classes for every block of a grid over a u8 plane.
 
     Equivalent of preclassifying every grid item at partition-build time
-    (``Classifier2.cpp:64-68``).
+    (``Classifier2.cpp:64-68``).  ``sums2x2`` forwards a precomputed 2x2
+    box-sum plane (see stats.quadrant_sums).
     """
     from .stats import quadrant_sums
 
-    return classify_from_quadrants(quadrant_sums(plane, grid, ii=ii))
+    return classify_from_quadrants(
+        quadrant_sums(plane, grid, ii=ii, sums2x2=sums2x2)
+    )

@@ -54,7 +54,8 @@ def block_sums_nonoverlapping(plane: jnp.ndarray, block_size: int) -> jnp.ndarra
     return x.sum(axis=(1, 3))
 
 
-def quadrant_sums(plane: jnp.ndarray, grid: Grid, ii: jnp.ndarray | None = None) -> jnp.ndarray:
+def quadrant_sums(plane: jnp.ndarray, grid: Grid, ii: jnp.ndarray | None = None,
+                  sums2x2: jnp.ndarray | None = None) -> jnp.ndarray:
     """[num_items, 4] i32 sums of the 4 half-size quadrants of each block.
 
     Quadrant order matches the reference classifier's a1..a4 = top-left,
@@ -64,9 +65,14 @@ def quadrant_sums(plane: jnp.ndarray, grid: Grid, ii: jnp.ndarray | None = None)
     Fast path: when the grid step is a multiple of the half-block (true for
     the default range and domain grids and all quadtree levels), every needed
     quadrant lies on the half-aligned non-overlapping tiling, so the sums are
-    a reshape-reduce plus four strided SLICES — no integral image, no gathers
-    (XLA gathers are ~10ns/element; this was the encode pipeline's second-
-    largest cost at 2K+).
+    a reshape-reduce plus slicing — no integral image, no gathers.  For
+    step == block (non-overlapping grids) the four "slices" are one fused
+    reshape-transpose (four strided slices on the TPU's tiled layout cost
+    ~3 ms EACH at 2048^2).
+
+    ``sums2x2``: optional [H/2, W/2] i32 2x2-box sums of the plane — callers
+    that already reduce the plane once (the codebook's half image is the
+    same reduction x0.25) pass it here so the image is only read once.
     """
     h, w = plane.shape
     half = grid.block_size // 2
@@ -76,9 +82,23 @@ def quadrant_sums(plane: jnp.ndarray, grid: Grid, ii: jnp.ndarray | None = None)
         and h % half == 0
         and w % half == 0
     ):
-        bs = block_sums_nonoverlapping(plane, half)  # [H/half, W/half]
+        if sums2x2 is not None and half % 2 == 0:
+            if half == 2:
+                bs = sums2x2
+            else:
+                hh = half // 2
+                h2, w2 = sums2x2.shape
+                bs = sums2x2.reshape(h2 // hh, hh, w2 // hh, hh).sum(axis=(1, 3))
+        else:
+            bs = block_sums_nonoverlapping(plane, half)  # [H/half, W/half]
         k = grid.step // half
         ny, nx = grid.ny, grid.nx
+
+        if k == 2 and bs.shape == (2 * ny, 2 * nx):
+            # non-overlapping grid: group the 2x2 quadrant cells with ONE
+            # reshape-transpose instead of four strided slices
+            g = bs.reshape(ny, 2, nx, 2).transpose(0, 2, 1, 3)
+            return g.reshape(ny * nx, 4)
 
         def pick(row0, col0):
             v = bs[row0::k, col0::k][:ny, :nx]

@@ -69,6 +69,7 @@ def build_codebook(
     domain_grid: Grid,
     target_size: int,
     num_transforms: int,
+    half: jnp.ndarray | None = None,
 ) -> Codebook:
     """Sample all domain blocks under the first ``num_transforms`` isometries.
 
@@ -88,7 +89,8 @@ def build_codebook(
     half_taps = _half_res_taps(sw, target_size, w)
     if half_taps is not None and domain_grid.step % 2 == 0:
         taps = half_taps[:num_transforms]  # [T, K] flat offsets (numpy)
-        half = plane_f32.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) * 0.25
+        if half is None:
+            half = plane_f32.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) * 0.25
         s2 = domain_grid.step // 2
         ny, nx = domain_grid.ny, domain_grid.nx
         if s2 >= 1:

@@ -78,20 +78,31 @@ class EncodeResult:
 
 
 def _encode_plane_impl(plane: jnp.ndarray, cfg: EncoderConfig) -> EncodeResult:
+    from ..core.stats import block_sums_nonoverlapping
+
     h, w = plane.shape
     plane_f32 = plane.astype(jnp.float32)
     domain_grid = uniform_grid(w, h, cfg.source_size, cfg.domain_step)
     range_grid = uniform_grid(w, h, cfg.target_size, cfg.target_size)
 
-    cb = build_codebook(plane_f32, domain_grid, cfg.target_size, cfg.num_transforms)
+    # one 2x2 box-sum pass over the image feeds BOTH the codebook's half
+    # image (x0.25, exact) and the classifier's quadrant sums
+    if h % 2 == 0 and w % 2 == 0:
+        sums2x2 = block_sums_nonoverlapping(plane, 2)
+        half = sums2x2.astype(jnp.float32) * 0.25
+    else:
+        sums2x2 = half = None
+
+    cb = build_codebook(plane_f32, domain_grid, cfg.target_size,
+                        cfg.num_transforms, half=half)
     ranges = extract_ranges(plane_f32, cfg.target_size)
     sum_a = ranges.sum(axis=-1)
     sum_a2 = (ranges * ranges).sum(axis=-1)
 
     if cfg.use_classifier:
         ii = integral_image(plane)
-        domain_classes = classify_grid(plane, domain_grid, ii=ii)
-        range_classes = classify_grid(plane, range_grid, ii=ii)
+        domain_classes = classify_grid(plane, domain_grid, ii=ii, sums2x2=sums2x2)
+        range_classes = classify_grid(plane, range_grid, ii=ii, sums2x2=sums2x2)
     else:
         domain_classes = None
         range_classes = None

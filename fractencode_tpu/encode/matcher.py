@@ -240,8 +240,10 @@ def _class_layout(classes01: jnp.ndarray, block: int,
     seg_start_t = jnp.concatenate([jnp.zeros(1, tiles.dtype), tile_cum[:-1]])
     seg_start = (seg_start_t * block).astype(jnp.int32)  # element units
 
-    rank = jnp.take_along_axis(csum, classes01[:, None], axis=1)[:, 0] - 1
-    pos = seg_start[classes01] + rank.astype(jnp.int32)
+    # rowwise (onehot . csum) picks csum[i, cls_i] with a mul+reduce instead
+    # of a take_along_axis gather (~3.5 ms at 1M items on TPU vs ~0.3 ms)
+    rank = (onehot * csum).sum(axis=1) - 1
+    pos = (onehot * seg_start[None, :]).sum(axis=1) + rank.astype(jnp.int32)
 
     seg_start1 = jnp.concatenate([seg_start, jnp.zeros(1, jnp.int32)])
     counts1 = jnp.concatenate([counts.astype(jnp.int32), jnp.zeros(1, jnp.int32)])
@@ -469,8 +471,10 @@ def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
     d, t, _ = cb.values.shape
     m = d * t
     m_pad = inv_col.shape[0]
-    sb = cb.sum[:, ::-1].reshape(m)
-    sb2 = cb.sum_sq[:, ::-1].reshape(m)
+    # pack (SumB, SumB2) so the winner lookup is ONE row gather
+    sbb = jnp.stack(
+        [cb.sum[:, ::-1].reshape(m), cb.sum_sq[:, ::-1].reshape(m)], axis=1
+    )
 
     if dist_s is None:
         # ls_fast path: convert the winner's rank key to a distance AFTER
@@ -508,8 +512,9 @@ def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
         cb_cols = cb.values[:, ::-1, :].reshape(m, k)
         win_rows = cb_cols[win_m]
         sum_ab = (ranges * win_rows).sum(axis=-1)
-    s, o = solve_so(sum_a, sum_a2, sb[win_m], sb2[win_m], sum_ab, float(k),
-                    cfg.so_mode, cfg.s_max)
+    sbb_win = sbb[win_m]  # [R, 2]
+    s, o = solve_so(sum_a, sum_a2, sbb_win[:, 0], sbb_win[:, 1], sum_ab,
+                    float(k), cfg.so_mode, cfg.s_max)
     s = jnp.where(valid, s, 0.0)
     o = jnp.where(valid, o, 0.0)
     return SearchResult(

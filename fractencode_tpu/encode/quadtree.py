@@ -116,17 +116,25 @@ def _per_pixel_error(res, k: int, criterion: str, domain_area: int):
 def _encode_level(plane, plane_f32, cfg: EncoderConfig, range_size: int,
                   domain_size: int, domain_step: int, backend: str,
                   interpret: bool):
+    from ..core.stats import block_sums_nonoverlapping
+
     h, w = plane.shape
     domain_grid = uniform_grid(w, h, domain_size, domain_step)
     range_grid = uniform_grid(w, h, range_size, range_size)
-    cb = build_codebook(plane_f32, domain_grid, range_size, cfg.num_transforms)
+    if h % 2 == 0 and w % 2 == 0:
+        sums2x2 = block_sums_nonoverlapping(plane, 2)
+        half = sums2x2.astype(jnp.float32) * 0.25
+    else:
+        sums2x2 = half = None
+    cb = build_codebook(plane_f32, domain_grid, range_size, cfg.num_transforms,
+                        half=half)
     ranges = extract_ranges(plane_f32, range_size)
     sum_a = ranges.sum(axis=-1)
     sum_a2 = (ranges * ranges).sum(axis=-1)
     if cfg.use_classifier:
         ii = integral_image(plane)
-        dcls = classify_grid(plane, domain_grid, ii=ii)
-        rcls = classify_grid(plane, range_grid, ii=ii)
+        dcls = classify_grid(plane, domain_grid, ii=ii, sums2x2=sums2x2)
+        rcls = classify_grid(plane, range_grid, ii=ii, sums2x2=sums2x2)
     else:
         dcls = rcls = None
     if backend == "pallas":
