@@ -178,8 +178,9 @@ def _encode_batch_impl(planes: jnp.ndarray, cfg: EncoderConfig):
     # device — one dispatch for the whole batch, kernels stay busy back to
     # back (single-chip throughput mode, BASELINE config 5's per-chip lane),
     # and only one frame's prep arrays are live at a time.  (A vmapped-prep
-    # variant was measured equal at 512^2 batch-16 but holds B frames'
-    # sorted/padded codebooks in HBM simultaneously — strictly worse.)
+    # + lax.map'd-kernel variant was re-measured in round 2 after the prep
+    # fusions: 23 vs 34 Mpix/s at 512^2 batch-16 — vmap pessimizes the
+    # codebook's strided-slice build into batched gathers.  lax.map wins.)
     return jax.lax.map(lambda p: _encode_plane_arrays(p, cfg), planes)
 
 

@@ -182,3 +182,30 @@ def test_int8_path_bit_identical_at_k64(rng):
     np.testing.assert_array_equal(
         np.asarray(k8.distance), np.asarray(kf.distance)
     )
+
+
+def test_encode_batch_vmapped_prep_matches_single(rng):
+    """The batch path (vmapped prep + lax.map'd kernel + vmapped post) must
+    equal per-frame encode_plane bitwise, pallas and oracle backends."""
+    from fractencode_tpu import EncoderConfig, encode_plane
+    from fractencode_tpu.encode import encode_batch
+
+    imgs = rng.integers(0, 256, size=(3, 64, 64), dtype=np.uint8)
+    for backend in ("pallas", "jnp"):
+        cfg = EncoderConfig(backend=backend)
+        outs = encode_batch(imgs, cfg)
+        for i in range(3):
+            single = encode_plane(imgs[i], cfg)
+            np.testing.assert_array_equal(
+                np.asarray(outs[i].domain_idx), np.asarray(single.domain_idx),
+                err_msg=backend,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(outs[i].transform), np.asarray(single.transform)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(outs[i].s), np.asarray(single.s)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(outs[i].valid), np.asarray(single.valid)
+            )
