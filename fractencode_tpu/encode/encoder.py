@@ -177,10 +177,10 @@ def _encode_batch_impl(planes: jnp.ndarray, cfg: EncoderConfig):
     # lax.map: images stream through the (Pallas) search sequentially on the
     # device — one dispatch for the whole batch, kernels stay busy back to
     # back (single-chip throughput mode, BASELINE config 5's per-chip lane),
-    # and only one frame's prep arrays are live at a time.  (A vmapped-prep
-    # + lax.map'd-kernel variant was re-measured in round 2 after the prep
-    # fusions: 23 vs 34 Mpix/s at 512^2 batch-16 — vmap pessimizes the
-    # codebook's strided-slice build into batched gathers.  lax.map wins.)
+    # and only one frame's prep arrays are live at a time.  Measured and
+    # rejected in round 2: vmapped prep + lax.map'd kernel (23 vs 34 Mpix/s
+    # — vmap pessimizes the codebook's strided-slice build into batched
+    # gathers) and lax.scan with unroll=2 (31 vs 34 Mpix/s).
     return jax.lax.map(lambda p: _encode_plane_arrays(p, cfg), planes)
 
 

@@ -214,6 +214,85 @@ def _local_m(res: SearchResult, t: int):
     return res.domain_idx * t + (t - 1) - res.transform
 
 
+def _ring_search(ranges, sum_a, sum_a2, rcls, cb_local, dcls_local, idx,
+                 cfg: EncoderConfig, *, n: int, t_n: int, rows_per: int,
+                 nx: int, ny: int, d_local: int):
+    """Ring-streamed codebook search: the local shard rotates around the ICI
+    ring (``ppermute``) past the resident ranges; the carry keeps the running
+    (rank key, global column) winner with the single-device first-occurrence
+    tie-break.  Peak codebook memory stays O(codebook/n) per device for the
+    whole search.  Shard ``s`` owns domain rows [s*rows_per, ...), so its
+    global search-order columns start at s*d_local*t_n.
+
+    Returns the 6-tuple (domain, transform, s, o, distance, valid)."""
+    m_local = d_local * t_n
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    r = ranges.shape[0]
+    if dcls_local is None:
+        # carry needs static structure; use a zero placeholder
+        dcls_c = jnp.zeros((d_local,), jnp.int32)
+    else:
+        dcls_c = dcls_local
+
+    def hop(hi, carry):
+        (bq, bcol, bdist, bs, bo, bvalid,
+         vals, sums, sums2, ivar, dc) = carry
+        src = (idx - hi) % n  # shard we currently hold
+        cb_h = type(cb_local)(values=vals, sum=sums, sum_sq=sums2,
+                              grid=cb_local.grid, inv_var=ivar)
+        local_rows = src * rows_per + jnp.arange(d_local) // nx
+        dmask = local_rows < ny
+        res = _search_any(ranges, sum_a, sum_a2, cb_h, rcls,
+                          dc if cfg.use_classifier else None,
+                          cfg, domain_mask=dmask)
+        gcol = src * m_local + _local_m(res, t_n)
+        # global first-occurrence: higher key wins; equal keys ->
+        # lower global column wins (exact f32 equality: both
+        # sides are the same deterministic kernel expression)
+        better = (res.key > bq) | ((res.key == bq) & (gcol < bcol))
+        upd = lambda new, old: jnp.where(better, new, old)
+        return (
+            upd(res.key, bq),
+            upd(gcol, bcol),
+            upd(res.distance, bdist),
+            upd(res.s, bs),
+            upd(res.o, bo),
+            upd(res.valid, bvalid),
+            # rotate the shard to the next device (ICI ring)
+            jax.lax.ppermute(vals, SEARCH_AXIS, perm),
+            jax.lax.ppermute(sums, SEARCH_AXIS, perm),
+            jax.lax.ppermute(sums2, SEARCH_AXIS, perm),
+            jax.lax.ppermute(ivar, SEARCH_AXIS, perm),
+            jax.lax.ppermute(dc, SEARCH_AXIS, perm),
+        )
+
+    init = (
+        jnp.full((r,), -_BIG, jnp.float32),
+        jnp.zeros((r,), jnp.int32),
+        jnp.full((r,), _BIG, jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), bool),
+        cb_local.values, cb_local.sum, cb_local.sum_sq,
+        cb_local.inv_var_or_compute(), dcls_c,
+    )
+    bq, bcol, bdist, bs, bo, bvalid, *_ = jax.lax.fori_loop(0, n, hop, init)
+    # fully-rejected ranges never update the carry: bcol stays 0, which
+    # decodes to (domain 0, transform T-1) — exactly the single-device
+    # argmin's first-column fallback
+    g_dom = bcol // t_n
+    g_tr = (t_n - 1) - (bcol % t_n)
+    bs = jnp.where(bvalid, bs, 0.0)
+    bo = jnp.where(bvalid, bo, 0.0)
+    return (
+        g_dom.astype(jnp.int32),
+        g_tr.astype(jnp.int32),
+        bs, bo,
+        jnp.where(bvalid, bdist, _BIG),
+        bvalid,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "strategy"))
 def _encode_batch_impl(planes, cfg: EncoderConfig, mesh: Mesh, strategy: str):
     b, h, w = planes.shape
@@ -305,9 +384,6 @@ def _encode_batch_impl(planes, cfg: EncoderConfig, mesh: Mesh, strategy: str):
 
     elif strategy == "ring":
         statics = _band_statics(h, w, cfg, n_search)
-        grid, ny, nx, rows_per, band_h, pad_h, d_local = statics
-        m_local = d_local * t_n
-        perm = [(i, (i + 1) % n_search) for i in range(n_search)]
 
         def body(planes_local):
             idx = jax.lax.axis_index(SEARCH_AXIS)
@@ -320,74 +396,10 @@ def _encode_batch_impl(planes, cfg: EncoderConfig, mesh: Mesh, strategy: str):
                 # case of SURVEY.md section 5.
                 cb, dcls, _ = _local_band_codebook(plane, cfg, idx, statics)
                 ranges, sum_a, sum_a2, rcls = _range_arrays(plane, cfg)
-                r = ranges.shape[0]
-                if dcls is None:
-                    # carry needs static structure; use a zero placeholder
-                    dcls_c = jnp.zeros((d_local,), jnp.int32)
-                else:
-                    dcls_c = dcls
-
-                def hop(hi, carry):
-                    (bq, bcol, bdist, bs, bo, bvalid,
-                     vals, sums, sums2, ivar, dc) = carry
-                    src = (idx - hi) % n_search  # shard we currently hold
-                    cb_h = type(cb)(values=vals, sum=sums, sum_sq=sums2,
-                                    grid=cb.grid, inv_var=ivar)
-                    local_rows = src * rows_per + jnp.arange(d_local) // nx
-                    dmask = local_rows < ny
-                    res = _search_any(ranges, sum_a, sum_a2, cb_h, rcls,
-                                      dc if cfg.use_classifier else None,
-                                      cfg, domain_mask=dmask)
-                    gcol = src * m_local + _local_m(res, t_n)
-                    # global first-occurrence: higher key wins; equal keys ->
-                    # lower global column wins (exact f32 equality: both
-                    # sides are the same deterministic kernel expression)
-                    better = (res.key > bq) | ((res.key == bq) & (gcol < bcol))
-                    upd = lambda new, old: jnp.where(better, new, old)
-                    g_dom = src * d_local + res.domain_idx
-                    carry2 = (
-                        upd(res.key, bq),
-                        upd(gcol, bcol),
-                        upd(res.distance, bdist),
-                        upd(res.s, bs),
-                        upd(res.o, bo),
-                        upd(res.valid, bvalid),
-                        # rotate the shard to the next device (ICI ring)
-                        jax.lax.ppermute(vals, SEARCH_AXIS, perm),
-                        jax.lax.ppermute(sums, SEARCH_AXIS, perm),
-                        jax.lax.ppermute(sums2, SEARCH_AXIS, perm),
-                        jax.lax.ppermute(ivar, SEARCH_AXIS, perm),
-                        jax.lax.ppermute(dc, SEARCH_AXIS, perm),
-                    )
-                    return carry2
-
-                init = (
-                    jnp.full((r,), -_BIG, jnp.float32),
-                    jnp.zeros((r,), jnp.int32),
-                    jnp.full((r,), _BIG, jnp.float32),
-                    jnp.zeros((r,), jnp.float32),
-                    jnp.zeros((r,), jnp.float32),
-                    jnp.zeros((r,), bool),
-                    cb.values, cb.sum, cb.sum_sq, cb.inv_var_or_compute(),
-                    dcls_c,
-                )
-                bq, bcol, bdist, bs, bo, bvalid, *_ = jax.lax.fori_loop(
-                    0, n_search, hop, init
-                )
-                # fully-rejected ranges never update the carry: bcol stays 0,
-                # which decodes to (domain 0, transform T-1) — exactly the
-                # single-device argmin's first-column fallback
-                g_dom = bcol // t_n
-                g_tr = (t_n - 1) - (bcol % t_n)
-                bs = jnp.where(bvalid, bs, 0.0)
-                bo = jnp.where(bvalid, bo, 0.0)
-                return (
-                    g_dom.astype(jnp.int32),
-                    g_tr.astype(jnp.int32),
-                    bs, bo,
-                    jnp.where(bvalid, bdist, _BIG),
-                    bvalid,
-                )
+                return _ring_search(ranges, sum_a, sum_a2, rcls, cb, dcls,
+                                    idx, cfg, n=n_search, t_n=t_n,
+                                    rows_per=statics[3], nx=statics[2],
+                                    ny=statics[1], d_local=statics[-1])
 
             if _use_pallas(cfg):
                 return jax.lax.map(one, planes_local)
@@ -440,8 +452,9 @@ def encode_batch_sharded(
     ]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
-def _encode_sharded_image_impl(plane, cfg: EncoderConfig, mesh: Mesh):
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "codebook"))
+def _encode_sharded_image_impl(plane, cfg: EncoderConfig, mesh: Mesh,
+                               codebook: str = "replicate"):
     h, w = plane.shape
     n = mesh.shape[SEARCH_AXIS]
     hs = h // n  # rows per device
@@ -479,6 +492,27 @@ def _encode_sharded_image_impl(plane, cfg: EncoderConfig, mesh: Mesh):
         assert local_grid.ny == rows_per_dev, (local_grid.ny, rows_per_dev)
         cb_local = build_codebook(ext_f32, local_grid, cfg.target_size,
                                   cfg.num_transforms)
+
+        if codebook == "ring":
+            # ring-streamed codebook shards (the 4K+ "too big to replicate"
+            # variant of config 4): O(codebook/n) peak memory, shards rotate
+            # over ICI past this device's resident range band
+            ranges = extract_ranges(plane_local.astype(jnp.float32),
+                                    cfg.target_size)
+            sum_a = ranges.sum(axis=-1)
+            sum_a2 = (ranges * ranges).sum(axis=-1)
+            if cfg.use_classifier:
+                dcls_local = classify_grid(ext, local_grid)
+                range_grid = uniform_grid(w, hs, cfg.target_size,
+                                          cfg.target_size)
+                rcls = classify_grid(plane_local, range_grid)
+            else:
+                dcls_local = rcls = None
+            return _ring_search(
+                ranges, sum_a, sum_a2, rcls, cb_local, dcls_local, idx, cfg,
+                n=n, t_n=cfg.num_transforms, rows_per=rows_per_dev, nx=nx,
+                ny=ny_global, d_local=d_local,
+            )
 
         # replicate the codebook: all_gather over ICI; device-major concat ==
         # global row-major domain order because bands are contiguous rows
@@ -526,14 +560,21 @@ def _encode_sharded_image_impl(plane, cfg: EncoderConfig, mesh: Mesh):
     )(plane)
 
 
-def encode_plane_sharded_image(plane, cfg: EncoderConfig, mesh: Mesh) -> EncodeResult:
+def encode_plane_sharded_image(plane, cfg: EncoderConfig, mesh: Mesh,
+                               codebook: str = "replicate") -> EncodeResult:
     """Encode ONE large plane with the image itself sharded by rows across
-    the 'search' axis: halo exchange for boundary domains + codebook
-    all_gather (BASELINE config 4). Bitwise-matches the single-device encode.
+    the 'search' axis: halo exchange for boundary domains, then either a
+    codebook all_gather (``codebook='replicate'``, fits-in-HBM case) or
+    ring-streamed codebook shards (``codebook='ring'``, O(codebook/n) peak
+    memory — BASELINE config 4 at 4K+).  Bitwise-matches the single-device
+    encode either way.
     """
+    if codebook not in ("replicate", "ring"):
+        raise ValueError(f"unknown codebook mode {codebook}")
     plane = jnp.asarray(plane, jnp.uint8)
     h, w = plane.shape
-    dom, tr, s, o, dist, valid = _encode_sharded_image_impl(plane, cfg, mesh)
+    dom, tr, s, o, dist, valid = _encode_sharded_image_impl(plane, cfg, mesh,
+                                                            codebook)
     return EncodeResult(
         domain_idx=dom, transform=tr, s=s, o=o, distance=dist, valid=valid,
         width=w, height=h, source_size=cfg.source_size,

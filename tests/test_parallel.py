@@ -202,3 +202,28 @@ def test_encode_pod_script_single_process(devices_ok, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "frames/s" in out and "decode:" in out
+
+
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_image_sharded_halo_ring_codebook(rng, devices_ok, backend):
+    """Config-4-at-4K mechanics: image row-sharded AND the codebook
+    ring-streamed (never replicated) — must still match single-device
+    bitwise."""
+    from fractencode_tpu.parallel.sharded import encode_plane_sharded_image
+
+    cfg = EncoderConfig(source_size=16, target_size=4, backend=backend)
+    img = rng.integers(0, 256, size=(128, 64), dtype=np.uint8)
+    mesh = make_mesh(n_data=1, n_search=4)
+    sharded = encode_plane_sharded_image(img, cfg, mesh, codebook="ring")
+    single = encode_plane(img, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.domain_idx), np.asarray(single.domain_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.transform), np.asarray(single.transform)
+    )
+    np.testing.assert_allclose(np.asarray(sharded.s), np.asarray(single.s),
+                               atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.valid), np.asarray(single.valid)
+    )
