@@ -36,6 +36,9 @@ def _setup(rng, n=64, cfg=None):
     EncoderConfig(criterion="raw", so_mode="reference"),
     EncoderConfig(num_transforms=8),
     EncoderConfig(s_max=1.0),
+    # BASELINE config 1's shape: 8x8 ranges (K=64 int8 boundary), full
+    # 8-isometry search, no classifier — the ls_fast + zero-pad-tail path
+    EncoderConfig(target_size=8, num_transforms=8, use_classifier=False),
 ])
 def test_pallas_matches_oracle(rng, cfg):
     args = _setup(rng, 64, cfg)
