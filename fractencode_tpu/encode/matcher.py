@@ -319,8 +319,6 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
         jnp.arange(m, dtype=jnp.int32)
     )
     pad_1 = jnp.zeros((1,), jnp.float32)
-    sb_s = jnp.concatenate([sb, pad_1])[inv_col]
-    aux_s = jnp.concatenate([aux, pad_1])[inv_col]
 
     from ..ops.matcher_pallas import INT8_MAX_K, _is_ls_fast
 
@@ -350,11 +348,32 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
         cl_s = jnp.concatenate([cl, pad_row8])[inv_col]
         ranges_s = None
         cb_s = None
+        # Derive the sorted per-column sums from the resident int8 operands
+        # instead of gathering sb/aux through inv_col (two slow f32 scalar
+        # gathers at 2K+): rowsums of b4 = 8*ch + cl are the exact integers
+        # behind cb.sum / cb.sum_sq (samples are multiples of 0.25, every
+        # term < 2^24), and inv_var_b is integer-exact for K <= INT8_MAX_K,
+        # so the derived values are BIT-IDENTICAL to the gathered ones
+        # (padding rows are zero -> sb = 0, aux = 0, exactly as the gather's
+        # appended zero slot produced).
+        from ..ops.matcher_pallas import inv_var_b
+
+        b4_s = 8 * ch_s.astype(jnp.int32) + cl_s.astype(jnp.int32)
+        sb4_s = b4_s.sum(axis=1)
+        sb2_16_s = (b4_s * b4_s).sum(axis=1)
+        sb_s = sb4_s.astype(jnp.float32) * 0.25
+        sb2_s = sb2_16_s.astype(jnp.float32) * 0.0625
+        if rank_mode(cfg.criterion, cfg.so_mode, cfg.s_max) == "ls":
+            aux_s = inv_var_b(sb_s, sb2_s, float(k))
+        else:
+            aux_s = sb2_s
     else:
         pad_row = jnp.zeros((1, k), jnp.float32)
         ranges_s = jnp.concatenate([ranges, pad_row])[inv_r]
         cb_s = jnp.concatenate([cb_cols, pad_row])[inv_col]
         ai_s = ch_s = cl_s = b4_cols = None
+        sb_s = jnp.concatenate([sb, pad_1])[inv_col]
+        aux_s = jnp.concatenate([aux, pad_1])[inv_col]
 
     # per-range-tile class (tiles beyond the last class are padding -> 7)
     nrt = r_pad // block_r

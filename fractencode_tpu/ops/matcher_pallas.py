@@ -228,7 +228,24 @@ def rank_mode(criterion: str, so_mode: str, s_max: float) -> str:
 
 def inv_var_b(sb, sb2, n: float):
     """Per-column guarded reciprocal 1/var_b with the oracle's zero-guard
-    semantics (s = 0 when |var_b| < 1e-5; solve_so in encode/matcher.py)."""
+    semantics (s = 0 when |var_b| < 1e-5; solve_so in encode/matcher.py).
+
+    For K <= INT8_MAX_K the difference is computed in exact i32 (codebook
+    samples are multiples of 0.25, so 16*var_b = n*(16*SumB2) - (4*SumB)^2
+    with every term < 2^31): the only rounding is the final i32 -> f32 cast
+    — deterministic and fusion-proof, so any code path that rebuilds the
+    same integers (e.g. classed_prep deriving sorted-order sums from the
+    resident int8 operands) reproduces the value bit-for-bit.  The guard
+    |var_b| < 1e-5 collapses to var16 == 0 because var_b is a multiple of
+    1/16.
+    """
+    if n <= INT8_MAX_K:
+        sb4 = (4.0 * sb).astype(jnp.int32)
+        sb2_16 = (16.0 * sb2).astype(jnp.int32)
+        var16 = int(n) * sb2_16 - sb4 * sb4  # exact i32
+        var_b = var16.astype(jnp.float32) * 0.0625
+        return jnp.where(var16 == 0, 0.0,
+                         1.0 / jnp.where(var16 == 0, 1.0, var_b))
     var_b = n * sb2 - sb * sb
     return jnp.where(jnp.abs(var_b) < 1e-5, 0.0,
                      1.0 / jnp.where(var_b == 0.0, 1.0, var_b))
