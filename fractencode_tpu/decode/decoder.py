@@ -152,11 +152,11 @@ def decode_plane(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig()):
     init = jnp.full((h, w), dcfg.initial_value, dtype=jnp.uint8)
 
     def cond(carry):
-        img, prev, steps, mse, done = carry
+        img, prev, steps, mse, done, best, since = carry
         return (steps < dcfg.max_iterations) & ~done
 
     def body(carry):
-        img, prev, steps, _, _ = carry
+        img, prev, steps, _, _, best, since = carry
         nxt = step(img)
         d = nxt.astype(jnp.float32) - img.astype(jnp.float32)
         mse = jnp.sum(d * d) / (h * w)
@@ -166,13 +166,25 @@ def decode_plane(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig()):
         # comparing with the iterate from two steps back and stop — either
         # cycle state is a valid fixed-point rendering.
         cycle = jnp.all(nxt == prev)
-        return nxt, img, steps + 1, mse, (mse < dcfg.epsilon) | cycle
+        # longer-period cycles never repeat two steps apart; they show up as
+        # the MSE orbiting a floor instead.  A genuine contraction keeps
+        # setting new minima, so "no new minimum for stall_window steps"
+        # only fires once the orbit is periodic (see DecoderConfig).
+        improved = mse < best
+        since = jnp.where(improved, 0, since + 1)
+        best = jnp.minimum(best, mse)
+        stalled = (
+            since >= dcfg.stall_window if dcfg.stall_window > 0
+            else jnp.bool_(False)
+        )
+        return (nxt, img, steps + 1, mse,
+                (mse < dcfg.epsilon) | cycle | stalled, best, since)
 
     # prev starts unequal to any first iterate (init ^ 1 flips every pixel)
-    img, _, steps, mse, done = jax.lax.while_loop(
+    img, _, steps, mse, done, _, _ = jax.lax.while_loop(
         cond, body,
         (init, init ^ jnp.uint8(1), jnp.int32(0), jnp.float32(jnp.inf),
-         jnp.bool_(False)),
+         jnp.bool_(False), jnp.float32(jnp.inf), jnp.int32(0)),
     )
     iterations = jnp.where(done, steps - 1, steps)
     return img, iterations, mse

@@ -73,6 +73,13 @@ class DecoderConfig:
     max_iterations: int = 300  # Encoder2.hpp:62
     epsilon: float = 1e-5  # inter-iterate MSE stop (main.cpp:34)
     initial_value: int = 100  # flat start image (Encoder2.hpp:69)
+    # Stop when the inter-iterate MSE has not reached a new minimum for this
+    # many steps: u8 truncation traps the iteration in small limit cycles
+    # (period 2 is caught exactly; longer periods orbit at a constant MSE
+    # floor until max_iterations — the reference would spin too,
+    # Encoder2.hpp:76-87).  Any cycle state is a valid fixed-point rendering;
+    # 0 disables the heuristic (strict reference iteration count).
+    stall_window: int = 24
 
 
 def REFERENCE_COMPAT(**overrides) -> EncoderConfig:
