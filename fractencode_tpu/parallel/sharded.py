@@ -583,9 +583,10 @@ def encode_plane_sharded_image(plane, cfg: EncoderConfig, mesh: Mesh,
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "max_iterations", "epsilon",
-                                             "initial_value"))
+                                             "initial_value", "stall_window"))
 def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
-                       max_iterations: int, epsilon: float, initial_value: int):
+                       max_iterations: int, epsilon: float, initial_value: int,
+                       stall_window: int):
     from ..decode.decoder import _build_indices, _decode_step
 
     h, w = template.height, template.width
@@ -616,23 +617,35 @@ def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
                 return (c[2] < max_iterations) & ~c[4]
 
             def step(c):
-                img, prev, steps, _, _ = c
+                img, prev, steps, _, _, best, since = c
                 nxt = _decode_step(img, idx, ss, oo, h, w, template.target_size)
                 d = nxt.astype(jnp.float32) - img.astype(jnp.float32)
                 mse = jnp.sum(d * d) / (h * w)
-                # period-2 cycle exit; see decode.decoder.decode_plane
+                # period-2 cycle + stall-window exits — must mirror
+                # decode.decoder.decode_plane exactly, or the batch decode
+                # exits a longer-period orbit on a different phase than the
+                # single-device decode (+-1 pixel flips).
                 cycle = jnp.all(nxt == prev)
-                return nxt, img, steps + 1, mse, (mse < epsilon) | cycle
+                improved = mse < best
+                since = jnp.where(improved, 0, since + 1)
+                best = jnp.minimum(best, mse)
+                stalled = (
+                    since >= stall_window if stall_window > 0
+                    else jnp.bool_(False)
+                )
+                return (nxt, img, steps + 1, mse,
+                        (mse < epsilon) | cycle | stalled, best, since)
 
             # the carry must carry the same varying-axes as the loop body's
             # outputs (which vary over 'data' through dom1/s1/o1)
             carry0 = jax.lax.pcast(
                 (init, init ^ jnp.uint8(1), jnp.int32(0),
-                 jnp.float32(jnp.inf), jnp.bool_(False)),
+                 jnp.float32(jnp.inf), jnp.bool_(False),
+                 jnp.float32(jnp.inf), jnp.int32(0)),
                 (DATA_AXIS,),
                 to="varying",
             )
-            img, _, steps, mse, _ = jax.lax.while_loop(cond, step, carry0)
+            img, _, steps, mse, _, _, _ = jax.lax.while_loop(cond, step, carry0)
             return img, steps, mse
 
         return jax.vmap(one)(dom_l, tr_l, s_l, o_l, valid_l)
@@ -648,7 +661,7 @@ def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
 
 def decode_batch_sharded(results: list[EncodeResult], mesh: Mesh,
                          max_iterations: int = 300, epsilon: float = 1e-5,
-                         initial_value: int = 100):
+                         initial_value: int = 100, stall_window: int = 24):
     """Decode a batch of encodes data-parallel across the mesh.
 
     Returns ([B, H, W] u8 images, [B] iterations, [B] final mse).
@@ -665,4 +678,5 @@ def decode_batch_sharded(results: list[EncodeResult], mesh: Mesh,
         max_iterations,
         epsilon,
         initial_value,
+        stall_window,
     )
