@@ -341,11 +341,11 @@ def encode_batch_quadtree_sharded(planes, cfg: EncoderConfig,
 # decode
 
 
-def _level_tables(level: QuadtreeLevel, width: int):
+def _level_tables(level: QuadtreeLevel, width: int, height: int):
     from ..decode.decoder import build_decode_tables
 
     return build_decode_tables(
-        level.domain_idx, level.transform, width,
+        level.domain_idx, level.transform, width, height,
         level.domain_size, level.range_size, level.domain_step,
     )
 
@@ -372,7 +372,7 @@ def decode_plane_quadtree(result: QuadtreeResult,
     """Fixed-point decode of a quadtree encode. Returns (u8 image, iters, mse)."""
     h, w = result.height, result.width
 
-    idxs = [_level_tables(l, w) for l in result.levels]
+    idxs = [_level_tables(l, w, h) for l in result.levels]
     pixel_masks = [
         jnp.repeat(
             jnp.repeat(
@@ -397,17 +397,25 @@ def decode_plane_quadtree(result: QuadtreeResult,
         return (c[2] < dcfg.max_iterations) & ~c[4]
 
     def body(c):
-        img, prev, steps, _, _ = c
+        img, prev, steps, _, _, best, since = c
         nxt = step(img)
         d = nxt.astype(jnp.float32) - img.astype(jnp.float32)
         mse = jnp.sum(d * d) / (h * w)
-        # period-2 cycle exit; see decode.decoder.decode_plane
+        # period-2 + stall-window cycle exits; see decode.decoder.decode_plane
         cycle = jnp.all(nxt == prev)
-        return nxt, img, steps + 1, mse, (mse < dcfg.epsilon) | cycle
+        improved = mse < best
+        since = jnp.where(improved, 0, since + 1)
+        best = jnp.minimum(best, mse)
+        stalled = (
+            since >= dcfg.stall_window if dcfg.stall_window > 0
+            else jnp.bool_(False)
+        )
+        return (nxt, img, steps + 1, mse,
+                (mse < dcfg.epsilon) | cycle | stalled, best, since)
 
-    img, _, steps, mse, done = jax.lax.while_loop(
+    img, _, steps, mse, done, _, _ = jax.lax.while_loop(
         cond, body,
         (init, init ^ jnp.uint8(1), jnp.int32(0), jnp.float32(jnp.inf),
-         jnp.bool_(False)),
+         jnp.bool_(False), jnp.float32(jnp.inf), jnp.int32(0)),
     )
     return img, jnp.where(done, steps - 1, steps), mse

@@ -88,8 +88,45 @@ def _pair_ab_int8(ai, ch, cl, sb):
     return (8 * abh + abl).astype(jnp.float32) * 0.25 + 128.0 * sb
 
 
-def _is_ls_fast(criterion: str, so_mode: str, s_max: float, use_int8: bool) -> bool:
-    return use_int8 and rank_mode(criterion, so_mode, s_max) == "ls"
+def _is_ls_fast(criterion: str, so_mode: str, s_max: float, use_int8: bool,
+                threshold: float = 0.0) -> bool:
+    # the early-accept frontier needs the per-row sums resident for the
+    # in-kernel q -> dist conversion, so threshold mode uses the generic int8
+    # path (bit-identical rank keys; see _rank_ls_int8's docstring)
+    return use_int8 and threshold <= 0.0 and \
+        rank_mode(criterion, so_mode, s_max) == "ls"
+
+
+_BIG_I = 2**31 - 1
+
+
+def _apply_frontier(q, sa, sa2, *, criterion, so_mode, s_max, inv_norm, n,
+                    threshold, t_n):
+    """Early-accept frontier within one column tile.
+
+    Reproduces the reference's data-dependent scan exits
+    (``TransformEstimator2.hpp:40-41``: break the domain loop once best <=
+    rmsThreshold; ``transformmatcher.h:55-56``: break the transform loop at
+    the first transform under threshold) as a prefix mask: let c0 be the
+    first hit column and g its domain group (columns store transforms
+    DESCENDING, so within the group the frontier keeps the suffix from the
+    LAST hit column = the first hit transform in ascending-t order).  Beyond
+    the frontier -> -_BIG.  The hit test converts q back to distance with
+    rank_to_dist's exact f32 expression so kernel and oracle agree bitwise.
+
+    Returns (masked q, any_hit [BR, 1] bool).
+    """
+    dist = rank_to_dist(q, sa2, sa, criterion=criterion, so_mode=so_mode,
+                        s_max=s_max, inv_norm=inv_norm, n=n)
+    hit = dist <= threshold
+    ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    first_hit = jnp.min(jnp.where(hit, ids, _BIG_I), axis=1, keepdims=True)
+    any_hit = first_hit < _BIG_I
+    g_start = jnp.where(any_hit, (first_hit // t_n) * t_n, _BIG_I)
+    in_g = (ids >= g_start) & (ids < g_start + t_n)
+    c_star = jnp.max(jnp.where(hit & in_g, ids, -1), axis=1, keepdims=True)
+    allowed = (ids < g_start) | (in_g & (ids >= c_star))
+    return jnp.where((~any_hit) | allowed, q, -_BIG), any_hit
 
 
 def _rank_ls_int8(ai, abh, abl, sb, aux, n: float):

@@ -188,3 +188,24 @@ def test_sharded_quadtree_pallas_backend(rng):
         for lb, ls in zip(batch[i].levels, single.levels):
             np.testing.assert_array_equal(
                 np.asarray(lb.domain_idx), np.asarray(ls.domain_idx))
+
+
+def test_quadtree_decode_uses_cb_tables(rng):
+    """Regression for the round-2 HEAD breakage: decode tables for every
+    quadtree level must build through the 7-arg build_decode_tables signature
+    and (for the default even-step geometry) select the "cb" gather path."""
+    from fractencode_tpu.encode.quadtree import _level_tables
+
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    res = encode_plane_quadtree(img, EncoderConfig(),
+                                QuadtreeConfig(min_size=4, max_size=16,
+                                               error_threshold=50.0))
+    modes = {
+        lvl.range_size: _level_tables(lvl, res.width, res.height)[0]
+        for lvl in res.levels
+    }
+    # the fine levels qualify for the codebook gather path; the coarse 16px
+    # level exceeds the patch-slice budget and falls back to half-res taps
+    assert modes[4] == "cb" and modes[8] == "cb", modes
+    out, iters, mse = decode_plane_quadtree(res, DecoderConfig())
+    assert out.shape == (64, 64) and out.dtype == np.uint8
