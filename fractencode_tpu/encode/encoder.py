@@ -110,21 +110,11 @@ def _encode_plane_impl(plane: jnp.ndarray, cfg: EncoderConfig) -> EncodeResult:
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if backend == "pallas" and cfg.rms_threshold > 0.0:
-        # The early-accept frontier (TransformEstimator2.hpp:40-41) is a
-        # data-dependent scan-order semantic the fused kernels do not
-        # implement; fall back to the oracle LOUDLY rather than silently
-        # returning the full-argmin winner.
-        import warnings
-
-        warnings.warn(
-            "rms_threshold > 0 is not supported by the Pallas backend; "
-            "falling back to the jnp oracle (slower, same semantics as the "
-            "reference's early-accept scan)",
-            stacklevel=2,
-        )
-        backend = "jnp"
     if backend == "pallas":
+        # rms_threshold > 0 is handled IN the kernels: the early-accept
+        # frontier (TransformEstimator2.hpp:40-41, transformmatcher.h:55-56)
+        # is a prefix mask + per-row freeze in the running argmax (see
+        # ops.matcher_pallas._apply_frontier).
         interpret = jax.default_backend() != "tpu"
         if cfg.use_classifier and range_classes is not None:
             # class-blocked kernel: the prune becomes a real FLOP saving

@@ -323,7 +323,8 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     from ..ops.matcher_pallas import INT8_MAX_K, _is_ls_fast
 
     use_int8 = cfg.int8_matmul and k <= INT8_MAX_K
-    if _is_ls_fast(cfg.criterion, cfg.so_mode, cfg.s_max, use_int8):
+    if _is_ls_fast(cfg.criterion, cfg.so_mode, cfg.s_max, use_int8,
+                   cfg.rms_threshold):
         # the kernel derives SumA from its resident int8 tiles and the
         # q -> dist conversion happens after unsorting (classed_post), so
         # the sorted per-row sums are never needed at all
@@ -423,7 +424,7 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
 
 def classed_kernel(prep: dict, k: int, domain_area: int, block_r: int,
                    block_m: int, p_cap: int, worst_pairs: int,
-                   cfg: EncoderConfig, interpret: bool):
+                   cfg: EncoderConfig, interpret: bool, t_n: int = 4):
     """Run the Pallas search on prepped arrays: the pair-list kernel, with a
     lax.cond fallback to the 2-D classed kernel when a degenerate class
     distribution overflows the pair budget (only reachable at 4K+).
@@ -449,6 +450,8 @@ def classed_kernel(prep: dict, k: int, domain_area: int, block_r: int,
         use_int8=use_int8,
         int8_ops=int8_ops,
         interpret=interpret,
+        threshold=cfg.rms_threshold,
+        t_n=t_n,
     )
 
     def _pairs_path():
@@ -582,7 +585,7 @@ def search_pallas_classed(
                         domain_classes, cfg, domain_mask=domain_mask)
     dist_s, idx_s, q_s = classed_kernel(
         prep, k, cb.grid.block_size ** 2, block_r, block_m, p_cap,
-        worst_pairs, cfg, interpret,
+        worst_pairs, cfg, interpret, t_n=t,
     )
     return classed_post(dist_s, idx_s, q_s, prep["rpos"], prep["inv_col"],
                         ranges, sum_a, sum_a2, cb, cfg,
@@ -602,11 +605,11 @@ def search_pallas(
 ) -> SearchResult:
     """Pallas-kernel backend: fused MXU scoring + on-chip argmin.
 
-    Same selection semantics as ``search`` except for the threshold
-    early-accept frontier (``rms_threshold`` > 0 is an oracle-only feature;
-    at the default threshold 0.0 the only divergence is *which* of several
-    exactly-zero-distance transforms is recorded — all of them decode
-    identically, see ``select_best``'s docstring).
+    Same selection semantics as ``search``, including the threshold
+    early-accept frontier (``rms_threshold`` > 0 becomes a prefix mask +
+    per-row freeze inside the kernel; see ops.matcher_pallas._apply_frontier)
+    — the hit test and ranking use the same f32 expressions as the oracle so
+    winners and tie-breaks agree bitwise.
     """
     from ..ops.matcher_pallas import (
         DEFAULT_BM,
@@ -669,6 +672,8 @@ def search_pallas(
         block_m=block_m,
         use_int8=cfg.int8_matmul and k <= INT8_MAX_K,
         interpret=interpret,
+        threshold=cfg.rms_threshold,
+        t_n=t,
     )
     dist = dist[:r]
     win_m = win_m[:r]

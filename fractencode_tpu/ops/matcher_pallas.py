@@ -171,16 +171,18 @@ def _search_kernel(
     use_classes: bool,
     use_int8: bool,
     m_valid: int,
+    threshold: float,
+    t_n: int,
 ):
     # f32 mode:  a[BR,K]f32, sa, sa2, c[BM,K]f32, sb, aux, rcls, ccls
     # int8 mode: ai[BR,K]i8, sa, sa2, ch[BM,K]i8, cl[BM,K]i8, sb, aux, rcls, ccls
     # aux = inv_var_b (mode 'ls') or SumB2 (other modes); see rank_mode.
     if use_int8:
         (ai_ref, sa_ref, sa2_ref, ch_ref, cl_ref, sb_ref, aux_ref,
-         rcls_ref, ccls_ref, q_out, idx_out, best_q, best_idx) = refs
+         rcls_ref, ccls_ref, q_out, idx_out, best_q, best_idx, frozen) = refs
     else:
         (a_ref, sa_ref, sa2_ref, c_ref, sb_ref, aux_ref,
-         rcls_ref, ccls_ref, q_out, idx_out, best_q, best_idx) = refs
+         rcls_ref, ccls_ref, q_out, idx_out, best_q, best_idx, frozen) = refs
 
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -189,13 +191,14 @@ def _search_kernel(
     def _init():
         best_q[:] = jnp.full_like(best_q, -_BIG)
         best_idx[:] = jnp.zeros_like(best_idx)
+        frozen[:] = jnp.zeros_like(frozen)
 
     sa = sa_ref[:]  # [BR, 1]
     sa2 = sa2_ref[:]  # [BR, 1]
     sb = sb_ref[:]  # [1, BM]
     n = float(k)
 
-    ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
+    ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8, threshold)
     # MXU: SumAB for all pairs in this tile — exact either way.
     if ls_fast:
         abh, abl = _pair_ab_int8_raw(ai_ref[:], ch_ref[:], cl_ref[:])
@@ -221,6 +224,12 @@ def _search_kernel(
         col = j * bm + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
         q = jnp.where(col < m_valid, q, -_BIG)
 
+    if threshold > 0.0:
+        q, any_hit = _apply_frontier(
+            q, sa, sa2, criterion=criterion, so_mode=so_mode, s_max=s_max,
+            inv_norm=inv_norm, n=n, threshold=threshold, t_n=t_n,
+        )
+
     # tile-local argmax with EXPLICIT first-occurrence tie-break (= lowest
     # column index = the reference's argmin-dist tie rule; q is strictly
     # decreasing in dist).  Mosaic's compiled argmax does not guarantee
@@ -232,6 +241,11 @@ def _search_kernel(
     tile_arg = tile_arg + j * bm
 
     improved = tile_q > best_q[:]
+    if threshold > 0.0:
+        # rows past their early-accept frontier stop improving (the frontier
+        # tile itself still updates: freeze applies from the NEXT tile on)
+        improved = improved & (frozen[:] == 0)
+        frozen[:] = jnp.where(any_hit, jnp.int32(1), frozen[:])
     best_idx[:] = jnp.where(improved, tile_arg, best_idx[:])
     best_q[:] = jnp.where(improved, tile_q, best_q[:])
 
@@ -374,21 +388,23 @@ def _classed_kernel(
     inv_norm: float,
     k: int,
     use_int8: bool,
+    threshold: float,
+    t_n: int,
 ):
-    _ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
+    _ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8, threshold)
     if _ls_fast:
         # per-row sums are derived in-kernel from the int8 tiles
         (tile_class_ref, col_tile_start_ref, col_tile_count_ref, col_end_ref,
          ai_ref, ch_ref, cl_ref, sb_ref, aux_ref,
-         q_out, idx_out, best_q, best_idx) = refs
+         q_out, idx_out, best_q, best_idx, frozen) = refs
     elif use_int8:
         (tile_class_ref, col_tile_start_ref, col_tile_count_ref, col_end_ref,
          ai_ref, sa_ref, sa2_ref, ch_ref, cl_ref, sb_ref, aux_ref,
-         q_out, idx_out, best_q, best_idx) = refs
+         q_out, idx_out, best_q, best_idx, frozen) = refs
     else:
         (tile_class_ref, col_tile_start_ref, col_tile_count_ref, col_end_ref,
          a_ref, sa_ref, sa2_ref, c_ref, sb_ref, aux_ref,
-         q_out, idx_out, best_q, best_idx) = refs
+         q_out, idx_out, best_q, best_idx, frozen) = refs
 
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -398,13 +414,14 @@ def _classed_kernel(
     def _init():
         best_q[:] = jnp.full_like(best_q, -_BIG)
         best_idx[:] = jnp.zeros_like(best_idx)
+        frozen[:] = jnp.zeros_like(frozen)
 
     cls = tile_class_ref[i]
     active = j < col_tile_count_ref[cls]
 
     @pl.when(active)
     def _compute():
-        ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
+        ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8, threshold)
         if ls_fast:
             abh, abl = _pair_ab_int8_raw(ai_ref[:], ch_ref[:], cl_ref[:])
             q = _rank_ls_int8(ai_ref[:], abh, abl, sb_ref[:], aux_ref[:],
@@ -433,12 +450,24 @@ def _classed_kernel(
             col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
             q = jnp.where(col < col_end_ref[cls], q, -_BIG)
 
+        if threshold > 0.0:
+            q2, any_hit = _apply_frontier(
+                q, sa_ref[:], sa2_ref[:], criterion=criterion,
+                so_mode=so_mode, s_max=s_max, inv_norm=inv_norm,
+                n=float(k), threshold=threshold, t_n=t_n,
+            )
+        else:
+            q2 = q
+
         # explicit first-occurrence argmax; see _search_kernel
-        tile_q = jnp.max(q, axis=1, keepdims=True)
-        ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
-        tile_arg = jnp.min(jnp.where(q == tile_q, ids, jnp.int32(2**31 - 1)),
+        tile_q = jnp.max(q2, axis=1, keepdims=True)
+        ids = jax.lax.broadcasted_iota(jnp.int32, q2.shape, 1)
+        tile_arg = jnp.min(jnp.where(q2 == tile_q, ids, jnp.int32(2**31 - 1)),
                            axis=1, keepdims=True) + col0
         improved = tile_q > best_q[:]
+        if threshold > 0.0:
+            improved = improved & (frozen[:] == 0)
+            frozen[:] = jnp.where(any_hit, jnp.int32(1), frozen[:])
         best_idx[:] = jnp.where(improved, tile_arg, best_idx[:])
         best_q[:] = jnp.where(improved, tile_q, best_q[:])
 
@@ -481,6 +510,8 @@ def _pairs_kernel(
     inv_norm: float,
     k: int,
     use_int8: bool,
+    threshold: float,
+    t_n: int,
 ):
     """Active-pair-list search: 1-D DYNAMIC grid over exactly the pairs the
     classifier keeps — zero skipped grid steps (the 2-D classed kernel pays
@@ -488,15 +519,16 @@ def _pairs_kernel(
     ~40% of the kernel).  The best-(q, idx) accumulators live directly in the
     output blocks, which stay VMEM-resident while consecutive pairs share the
     same range tile (pairs are sorted by range tile)."""
-    _ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
+    _ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8, threshold)
     if _ls_fast:
-        (ai_ref, ch_ref, cl_ref, sb_ref, aux_ref, q_out, idx_out) = refs
+        (ai_ref, ch_ref, cl_ref, sb_ref, aux_ref, q_out, idx_out,
+         frozen) = refs
     elif use_int8:
         (ai_ref, sa_ref, sa2_ref, ch_ref, cl_ref, sb_ref, aux_ref,
-         q_out, idx_out) = refs
+         q_out, idx_out, frozen) = refs
     else:
         (a_ref, sa_ref, sa2_ref, c_ref, sb_ref, aux_ref,
-         q_out, idx_out) = refs
+         q_out, idx_out, frozen) = refs
 
     p = pl.program_id(0)
     packed = pair_ref[p]
@@ -509,10 +541,11 @@ def _pairs_kernel(
     def _init():
         q_out[:] = jnp.full_like(q_out, -_BIG)
         idx_out[:] = jnp.zeros_like(idx_out)
+        frozen[:] = jnp.zeros_like(frozen)
 
     @pl.when(compute == 1)
     def _compute():
-        ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
+        ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8, threshold)
         if ls_fast:
             abh, abl = _pair_ab_int8_raw(ai_ref[:], ch_ref[:], cl_ref[:])
             q = _rank_ls_int8(ai_ref[:], abh, abl, sb_ref[:], aux_ref[:],
@@ -538,12 +571,22 @@ def _pairs_kernel(
             col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
             q = jnp.where(col < col_end_ref[tile_class_ref[rt]], q, -_BIG)
 
+        if threshold > 0.0:
+            q, any_hit = _apply_frontier(
+                q, sa_ref[:], sa2_ref[:], criterion=criterion,
+                so_mode=so_mode, s_max=s_max, inv_norm=inv_norm,
+                n=float(k), threshold=threshold, t_n=t_n,
+            )
+
         # explicit first-occurrence argmax; see _search_kernel
         tile_q = jnp.max(q, axis=1, keepdims=True)
         ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
         tile_arg = jnp.min(jnp.where(q == tile_q, ids, jnp.int32(2**31 - 1)),
                            axis=1, keepdims=True) + col0
         improved = tile_q > q_out[:]
+        if threshold > 0.0:
+            improved = improved & (frozen[:] == 0)
+            frozen[:] = jnp.where(any_hit, jnp.int32(1), frozen[:])
         idx_out[:] = jnp.where(improved, tile_arg, idx_out[:])
         q_out[:] = jnp.where(improved, tile_q, q_out[:])
 
@@ -551,7 +594,8 @@ def _pairs_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("criterion", "so_mode", "s_max", "inv_norm",
-                     "block_r", "block_m", "p_cap", "use_int8", "interpret"),
+                     "block_r", "block_m", "p_cap", "use_int8", "interpret",
+                     "threshold", "t_n"),
 )
 def fused_search_pairs(
     ranges_sorted,  # [R_pad, K] f32 — class-sorted, tile-aligned
@@ -575,6 +619,8 @@ def fused_search_pairs(
     use_int8: bool = False,
     int8_ops=None,  # optional preconverted (ai, ch, cl) int8 arrays
     interpret: bool = False,
+    threshold: float = 0.0,
+    t_n: int = 4,
 ):
     """Pair-list variant of fused_search_classed (same results; see
     _pairs_kernel).  The caller guarantees n_pairs <= p_cap and that every
@@ -592,6 +638,7 @@ def fused_search_pairs(
         r_pad, k = ranges_sorted.shape
     assert r_pad % block_r == 0
     assert not (use_int8 and k > INT8_MAX_K)
+    assert threshold <= 0.0 or block_m % t_n == 0, (block_m, t_n)
 
     kernel = functools.partial(
         _pairs_kernel,
@@ -602,6 +649,8 @@ def fused_search_pairs(
         inv_norm=inv_norm,
         k=k,
         use_int8=use_int8,
+        threshold=threshold,
+        t_n=t_n,
     )
 
     def _rt(p, pairs, *_):
@@ -615,7 +664,7 @@ def fused_search_pairs(
     col_spec = pl.BlockSpec((block_m, k), lambda p, *s: (_ct(p, *s), 0))
     csum_spec = pl.BlockSpec((1, block_m), lambda p, *s: (0, _ct(p, *s)))
 
-    ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
+    ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8, threshold)
     if use_int8:
         if int8_ops is not None:
             ai, ch, cl = int8_ops
@@ -655,6 +704,7 @@ def fused_search_pairs(
             pl.BlockSpec((block_r, 1), lambda p, *s: (_rt(p, *s), 0)),
             pl.BlockSpec((block_r, 1), lambda p, *s: (_rt(p, *s), 0)),
         ],
+        scratch_shapes=[pltpu.VMEM((block_r, 1), jnp.int32)],  # frozen flags
     )
 
     vmem_bytes = min(
@@ -694,7 +744,8 @@ def fused_search_pairs(
 @functools.partial(
     jax.jit,
     static_argnames=("criterion", "so_mode", "s_max", "inv_norm",
-                     "block_r", "block_m", "use_int8", "interpret"),
+                     "block_r", "block_m", "use_int8", "interpret",
+                     "threshold", "t_n"),
 )
 def fused_search_classed(
     ranges_sorted,  # [R_pad, K] f32 — class-sorted, tile-aligned
@@ -717,6 +768,8 @@ def fused_search_classed(
     use_int8: bool = False,
     int8_ops=None,  # optional preconverted (ai, ch, cl) int8 arrays
     interpret: bool = False,
+    threshold: float = 0.0,
+    t_n: int = 4,
 ):
     """Class-blocked search: each range tile only visits its class's column
     segment.  The grid is sized for the worst case but off-class tiles are
@@ -735,6 +788,7 @@ def fused_search_classed(
         m_pad = cb_sorted.shape[0]
     assert r_pad % block_r == 0 and m_pad % block_m == 0
     assert not (use_int8 and k > INT8_MAX_K)
+    assert threshold <= 0.0 or block_m % t_n == 0, (block_m, t_n)
     nrt = r_pad // block_r
     max_tiles = m_pad // block_m
     grid = (nrt, max_tiles)
@@ -748,6 +802,8 @@ def fused_search_classed(
         inv_norm=inv_norm,
         k=k,
         use_int8=use_int8,
+        threshold=threshold,
+        t_n=t_n,
     )
 
     def col_index(i, j, tile_class, col_tile_start, col_tile_count, col_end):
@@ -765,7 +821,7 @@ def fused_search_classed(
     csum_spec = pl.BlockSpec((1, block_m),
                              lambda i, j, *s: (0, col_index(i, j, *s)))
 
-    ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8)
+    ls_fast = _is_ls_fast(criterion, so_mode, s_max, use_int8, threshold)
     if use_int8:
         if int8_ops is not None:
             ai, ch, cl = int8_ops
@@ -808,6 +864,7 @@ def fused_search_classed(
         scratch_shapes=[
             pltpu.VMEM((block_r, 1), jnp.float32),
             pltpu.VMEM((block_r, 1), jnp.int32),
+            pltpu.VMEM((block_r, 1), jnp.int32),  # frozen flags
         ],
     )
 
@@ -849,7 +906,8 @@ def fused_search_classed(
 @functools.partial(
     jax.jit,
     static_argnames=("criterion", "so_mode", "s_max", "inv_norm", "use_classes",
-                     "m_valid", "block_r", "block_m", "use_int8", "interpret"),
+                     "m_valid", "block_r", "block_m", "use_int8", "interpret",
+                     "threshold", "t_n"),
 )
 def fused_search(
     ranges,  # [R, K] f32
@@ -871,6 +929,8 @@ def fused_search(
     block_m: int = DEFAULT_BM,
     use_int8: bool = False,
     interpret: bool = False,
+    threshold: float = 0.0,
+    t_n: int = 4,
 ):
     """Returns (best_dist [R] f32, best_idx [R] i32 into the M axis).
 
@@ -882,6 +942,7 @@ def fused_search(
     m = codebook.shape[0]
     assert r % block_r == 0 and m % block_m == 0, (r, m, block_r, block_m)
     assert not (use_int8 and k > INT8_MAX_K)
+    assert threshold <= 0.0 or block_m % t_n == 0, (block_m, t_n)
     grid = (r // block_r, m // block_m)
 
     kernel = functools.partial(
@@ -895,6 +956,8 @@ def fused_search(
         use_classes=use_classes,
         use_int8=use_int8,
         m_valid=m if m_valid is None else m_valid,
+        threshold=threshold,
+        t_n=t_n,
     )
 
     row_spec = pl.BlockSpec((block_r, k), lambda i, j: (i, 0))
@@ -940,6 +1003,7 @@ def fused_search(
         scratch_shapes=[
             pltpu.VMEM((block_r, 1), jnp.float32),
             pltpu.VMEM((block_r, 1), jnp.int32),
+            pltpu.VMEM((block_r, 1), jnp.int32),  # frozen flags
         ],
         interpret=interpret,
     )(

@@ -69,8 +69,9 @@ STRATEGIES = ("ranges", "domains", "ring")
 
 
 def _use_pallas(cfg: EncoderConfig) -> bool:
-    if cfg.rms_threshold > 0.0:
-        return False  # threshold frontier is oracle-only (see encode/matcher.py)
+    # rms_threshold > 0 runs in the kernels too (the early-accept frontier
+    # is a prefix mask + freeze; ops.matcher_pallas._apply_frontier), and
+    # the cross-shard combines below reconstruct the global scan order.
     if cfg.backend == "pallas":
         return True
     return cfg.backend == "auto" and jax.default_backend() == "tpu"
@@ -214,6 +215,40 @@ def _local_m(res: SearchResult, t: int):
     return res.domain_idx * t + (t - 1) - res.transform
 
 
+def _acc_empty(r: int):
+    """(key, col, dist, s, o, valid) running-winner accumulator."""
+    return (
+        jnp.full((r,), -_BIG, jnp.float32),
+        jnp.zeros((r,), jnp.int32),
+        jnp.full((r,), _BIG, jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), bool),
+    )
+
+
+def _acc_update(acc, res: SearchResult, gcol, gate=None):
+    """Fold one shard's result into the accumulator with the global
+    first-occurrence rule: higher key wins; equal keys -> lower global
+    column wins (exact f32 equality: both sides are the same deterministic
+    kernel expression).  ``gate`` (optional bool [R]) blocks updates."""
+    bq, bcol, bdist, bs, bo, bvalid = acc
+    better = (res.key > bq) | ((res.key == bq) & (gcol < bcol))
+    if gate is not None:
+        better = better & gate
+    upd = lambda new, old: jnp.where(better, new, old)
+    return (upd(res.key, bq), upd(gcol, bcol), upd(res.distance, bdist),
+            upd(res.s, bs), upd(res.o, bo), upd(res.valid, bvalid))
+
+
+def _acc_merge(x, y):
+    """Composite-best of two accumulators (same (key, col) rule)."""
+    xq, xcol = x[0], x[1]
+    yq, ycol = y[0], y[1]
+    better = (yq > xq) | ((yq == xq) & (ycol < xcol))
+    return tuple(jnp.where(better, b, a) for a, b in zip(x, y))
+
+
 def _ring_search(ranges, sum_a, sum_a2, rcls, cb_local, dcls_local, idx,
                  cfg: EncoderConfig, *, n: int, t_n: int, rows_per: int,
                  nx: int, ny: int, d_local: int):
@@ -224,10 +259,21 @@ def _ring_search(ranges, sum_a, sum_a2, rcls, cb_local, dcls_local, idx,
     whole search.  Shard ``s`` owns domain rows [s*rows_per, ...), so its
     global search-order columns start at s*d_local*t_n.
 
+    The ring rotates so device ``idx`` visits shards idx, idx+1, ..., n-1,
+    0, ..., idx-1 — two runs that are each ASCENDING in global column order.
+    With ``rms_threshold`` > 0 the early-accept frontier
+    (TransformEstimator2.hpp:40-41) needs the global scan order, so the two
+    runs keep separate accumulators, each frozen at its own first hit shard
+    (group B = shards < idx holds the globally FIRST columns): the winner is
+    B's frozen best when B hit, else composite(B, frozen A).
+
     Returns the 6-tuple (domain, transform, s, o, distance, valid)."""
     m_local = d_local * t_n
-    perm = [(i, (i + 1) % n) for i in range(n)]
+    # shard held by device i moves to device i-1 => device idx holds shard
+    # (idx + hop) % n: ascending visit order from idx
+    perm = [(i, (i - 1) % n) for i in range(n)]
     r = ranges.shape[0]
+    use_thr = cfg.rms_threshold > 0.0
     if dcls_local is None:
         # carry needs static structure; use a zero placeholder
         dcls_c = jnp.zeros((d_local,), jnp.int32)
@@ -235,9 +281,8 @@ def _ring_search(ranges, sum_a, sum_a2, rcls, cb_local, dcls_local, idx,
         dcls_c = dcls_local
 
     def hop(hi, carry):
-        (bq, bcol, bdist, bs, bo, bvalid,
-         vals, sums, sums2, ivar, dc) = carry
-        src = (idx - hi) % n  # shard we currently hold
+        (acc_a, acc_b, frz_a, frz_b, vals, sums, sums2, ivar, dc) = carry
+        src = (idx + hi) % n  # shard we currently hold
         cb_h = type(cb_local)(values=vals, sum=sums, sum_sq=sums2,
                               grid=cb_local.grid, inv_var=ivar)
         local_rows = src * rows_per + jnp.arange(d_local) // nx
@@ -246,18 +291,17 @@ def _ring_search(ranges, sum_a, sum_a2, rcls, cb_local, dcls_local, idx,
                           dc if cfg.use_classifier else None,
                           cfg, domain_mask=dmask)
         gcol = src * m_local + _local_m(res, t_n)
-        # global first-occurrence: higher key wins; equal keys ->
-        # lower global column wins (exact f32 equality: both
-        # sides are the same deterministic kernel expression)
-        better = (res.key > bq) | ((res.key == bq) & (gcol < bcol))
-        upd = lambda new, old: jnp.where(better, new, old)
+        if use_thr:
+            in_b = src < idx  # traced scalar; group B = globally-first shards
+            hit = res.valid & (res.distance <= cfg.rms_threshold)
+            acc_a = _acc_update(acc_a, res, gcol, gate=(~in_b) & ~frz_a)
+            acc_b = _acc_update(acc_b, res, gcol, gate=in_b & ~frz_b)
+            frz_a = frz_a | ((~in_b) & hit)
+            frz_b = frz_b | (in_b & hit)
+        else:
+            acc_a = _acc_update(acc_a, res, gcol)
         return (
-            upd(res.key, bq),
-            upd(gcol, bcol),
-            upd(res.distance, bdist),
-            upd(res.s, bs),
-            upd(res.o, bo),
-            upd(res.valid, bvalid),
+            acc_a, acc_b, frz_a, frz_b,
             # rotate the shard to the next device (ICI ring)
             jax.lax.ppermute(vals, SEARCH_AXIS, perm),
             jax.lax.ppermute(sums, SEARCH_AXIS, perm),
@@ -267,16 +311,21 @@ def _ring_search(ranges, sum_a, sum_a2, rcls, cb_local, dcls_local, idx,
         )
 
     init = (
-        jnp.full((r,), -_BIG, jnp.float32),
-        jnp.zeros((r,), jnp.int32),
-        jnp.full((r,), _BIG, jnp.float32),
-        jnp.zeros((r,), jnp.float32),
-        jnp.zeros((r,), jnp.float32),
-        jnp.zeros((r,), bool),
+        _acc_empty(r), _acc_empty(r),
+        jnp.zeros((r,), bool), jnp.zeros((r,), bool),
         cb_local.values, cb_local.sum, cb_local.sum_sq,
         cb_local.inv_var_or_compute(), dcls_c,
     )
-    bq, bcol, bdist, bs, bo, bvalid, *_ = jax.lax.fori_loop(0, n, hop, init)
+    acc_a, acc_b, frz_a, frz_b, *_ = jax.lax.fori_loop(0, n, hop, init)
+    if use_thr:
+        # group B's columns all precede group A's: if B froze, the reference
+        # scan never reaches A at all
+        merged = _acc_merge(acc_b, acc_a)
+        pick_b = frz_b
+        final = tuple(jnp.where(pick_b, b, m) for b, m in zip(acc_b, merged))
+        bq, bcol, bdist, bs, bo, bvalid = final
+    else:
+        bq, bcol, bdist, bs, bo, bvalid = acc_a
     # fully-rejected ranges never update the carry: bcol stays 0, which
     # decodes to (domain 0, transform T-1) — exactly the single-device
     # argmin's first-column fallback
@@ -351,6 +400,22 @@ def _encode_batch_impl(planes, cfg: EncoderConfig, mesh: Mesh, strategy: str):
                 # lowest shard (shards hold ascending global columns, and the
                 # in-shard winner is already the first occurrence).
                 qs = jax.lax.all_gather(local.key, SEARCH_AXIS)  # [S, R]
+                if cfg.rms_threshold > 0.0:
+                    # early-accept across shards: a shard has a hit iff its
+                    # frozen local best is under threshold (freezing happens
+                    # exactly when a hit occurs).  Shards hold contiguous
+                    # ascending column slabs, so the reference scan never
+                    # reaches shards PAST the first one with a hit — mask
+                    # them out of the argmax.
+                    hits = jax.lax.all_gather(
+                        local.valid & (local.distance <= cfg.rms_threshold),
+                        SEARCH_AXIS,
+                    )  # [S, R]
+                    any_hit = hits.any(axis=0)
+                    s_star = jnp.argmax(hits, axis=0)  # first hit shard
+                    sid = jnp.arange(n_search, dtype=jnp.int32)[:, None]
+                    beyond = any_hit[None, :] & (sid > s_star[None, :])
+                    qs = jnp.where(beyond, -_BIG, qs)
                 winner = jnp.argmax(qs, axis=0)  # first (lowest shard) on ties
                 sel = lambda x: jax.lax.all_gather(x, SEARCH_AXIS)[
                     winner, jnp.arange(num_ranges)

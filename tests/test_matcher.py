@@ -133,10 +133,11 @@ def test_raw_distance_normalized_by_domain_area():
     np.testing.assert_allclose(float(res.distance[0]), 1.0)
 
 
-def test_pallas_backend_threshold_fallback(rng):
-    """rms_threshold > 0 must fall back to the oracle LOUDLY when the Pallas
-    backend is requested (the fused kernels don't implement the early-accept
-    frontier), and the result must equal the oracle's."""
+def test_pallas_backend_threshold_native(rng):
+    """rms_threshold > 0 runs IN the Pallas kernels (no oracle fallback, no
+    warning): the early-accept frontier is a prefix mask + per-row freeze
+    (ops.matcher_pallas._apply_frontier) and must equal the oracle bitwise
+    — here in the reference-compat 'raw' rank mode."""
     import warnings
 
     from fractencode_tpu import EncoderConfig, encode_plane
@@ -149,13 +150,17 @@ def test_pallas_backend_threshold_fallback(rng):
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         res_p = encode_plane(img, cfg_p)
-    assert any("rms_threshold" in str(w.message) for w in caught)
+    assert not any("rms_threshold" in str(w.message) for w in caught)
     res_j = encode_plane(img, cfg_j)
     np.testing.assert_array_equal(
         np.asarray(res_p.domain_idx), np.asarray(res_j.domain_idx)
     )
     np.testing.assert_array_equal(
         np.asarray(res_p.transform), np.asarray(res_j.transform)
+    )
+    np.testing.assert_array_equal(np.asarray(res_p.s), np.asarray(res_j.s))
+    np.testing.assert_array_equal(
+        np.asarray(res_p.distance), np.asarray(res_j.distance)
     )
 
 

@@ -212,3 +212,35 @@ def test_encode_batch_vmapped_prep_matches_single(rng):
             np.testing.assert_array_equal(
                 np.asarray(outs[i].valid), np.asarray(single.valid)
             )
+
+
+@pytest.mark.parametrize("use_classifier", [False, True])
+@pytest.mark.parametrize("threshold", [50.0, 500.0])
+def test_threshold_frontier_matches_oracle(rng, threshold, use_classifier):
+    """rms_threshold > 0 in the kernels (default 'ls' rank mode): the
+    early-accept frontier (prefix mask + per-row freeze,
+    ops.matcher_pallas._apply_frontier) must reproduce select_best's
+    oracle winners bitwise — including the within-domain transform suffix
+    rule (transformmatcher.h:55-56)."""
+    import dataclasses
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from fractencode_tpu.encode.encoder import _encode_plane_impl
+
+    base = rng.integers(0, 256, size=(64, 64)).astype(np.float32)
+    pad = np.pad(base, 2, mode="edge")
+    img = sliding_window_view(pad, (5, 5)).reshape(64, 64, 25).mean(axis=2)
+    img = img.astype(np.uint8)
+
+    cfg_o = EncoderConfig(backend="jnp", rms_threshold=threshold,
+                          use_classifier=use_classifier)
+    cfg_p = dataclasses.replace(cfg_o, backend="pallas")
+    ro = _encode_plane_impl(jnp.asarray(img), cfg_o)
+    rp = _encode_plane_impl(jnp.asarray(img), cfg_p)
+    assert int((np.asarray(ro.distance) <= threshold).sum()) > 0, "vacuous"
+    for f in ("domain_idx", "transform", "s", "o", "distance", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ro, f)), np.asarray(getattr(rp, f)),
+            err_msg=f"threshold={threshold} cls={use_classifier} field={f}",
+        )

@@ -227,3 +227,66 @@ def test_image_sharded_halo_ring_codebook(rng, devices_ok, backend):
     np.testing.assert_array_equal(
         np.asarray(sharded.valid), np.asarray(single.valid)
     )
+
+
+def _smooth_images(rng, b=2, n=64):
+    """Low-pass images so rms_threshold early-accepts actually trigger."""
+    import numpy as _np
+
+    base = rng.integers(0, 256, size=(b, n, n)).astype(_np.float32)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    out = []
+    for i in range(b):
+        pad = _np.pad(base[i], 2, mode="edge")
+        sm = sliding_window_view(pad, (5, 5)).reshape(n, n, 25).mean(axis=2)
+        out.append(sm)
+    return _np.stack(out).astype(_np.uint8)
+
+
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+@pytest.mark.parametrize("strategy", ["ranges", "domains", "ring"])
+def test_sharded_threshold_matches_single(rng, devices_ok, strategy, backend):
+    """rms_threshold > 0 across shards: the early-accept frontier follows
+    the GLOBAL scan order — 'domains' masks shards past the first hit shard,
+    'ring' keeps two in-order accumulators (see _ring_search).  Must match
+    the single-device encode bitwise."""
+    cfg = EncoderConfig(source_size=16, target_size=4, rms_threshold=60.0,
+                        backend=backend)
+    imgs = _smooth_images(rng, b=2, n=64)
+    mesh = make_mesh(n_data=2, n_search=4)
+    results = encode_batch_sharded(imgs, cfg, mesh, strategy=strategy)
+    hits_total = 0
+    for i in range(2):
+        single = encode_plane(imgs[i], cfg)
+        hits_total += int((np.asarray(single.distance) <= 60.0).sum())
+        for f in ("domain_idx", "transform", "s", "o", "distance", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(results[i], f)),
+                np.asarray(getattr(single, f)),
+                err_msg=f"strategy={strategy} backend={backend} "
+                        f"image={i} field={f}",
+            )
+    assert hits_total > 0, "threshold never triggered: test is vacuous"
+
+
+@pytest.mark.parametrize("codebook", ["replicate", "ring"])
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_image_sharded_halo_threshold(rng, devices_ok, backend, codebook):
+    """Halo-sharded single image with rms_threshold > 0: 'replicate' is one
+    in-order search per device; 'ring' exercises _ring_search's two-group
+    frontier accumulators under the halo driver."""
+    from fractencode_tpu.parallel.sharded import encode_plane_sharded_image
+
+    cfg = EncoderConfig(source_size=16, target_size=4, rms_threshold=60.0,
+                        backend=backend)
+    img = _smooth_images(rng, b=1, n=128)[0, :, :64]
+    mesh = make_mesh(n_data=1, n_search=4)
+    sharded = encode_plane_sharded_image(img, cfg, mesh, codebook=codebook)
+    single = encode_plane(img, cfg)
+    assert int((np.asarray(single.distance) <= 60.0).sum()) > 0
+    for f in ("domain_idx", "transform", "s", "o", "distance", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sharded, f)), np.asarray(getattr(single, f)),
+            err_msg=f"backend={backend} codebook={codebook} field={f}",
+        )

@@ -115,18 +115,21 @@ _FLAG_CONFIGS = {
 }
 
 
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
 @pytest.mark.parametrize("name", sorted(_FLAG_CONFIGS))
-def test_encoder_parity_flag_matrix(name):
+def test_encoder_parity_flag_matrix(name, backend):
     """Winner parity for the reference's non-default flags: --rms > 0
     (early-accept frontier, TransformEstimator2.hpp:40-41 +
     transformmatcher.h:55-56), --smax (truncateSMax clamp,
     transformmatcher.h:27-31), --noclassifier (DummyClassifier,
     Classifier2.hpp:41-49).  Goldens regenerated from the patched reference
-    binary (scripts/build_reference.sh + the dump patch in BASELINE.md)."""
+    binary (scripts/build_reference.sh + the dump patch in BASELINE.md).
+    Both backends must hit the goldens — 'pallas' (interpret mode on CPU)
+    pins the in-kernel early-accept frontier and clamp epilogues."""
     overrides, dump_name, _ = _FLAG_CONFIGS[name]
     dump = _load_dump(dump_name)
     y = load_gray(os.path.join(GOLDEN, "lenna128_input.png"))
-    res = encode_plane(y, REFERENCE_COMPAT(**overrides))
+    res = encode_plane(y, REFERENCE_COMPAT(backend=backend, **overrides))
     nx = (128 - 16) // 8 + 1
     dom_idx_cpp = (dump[:, 5] // 8).astype(int) * nx + (dump[:, 4] // 8).astype(int)
     assert np.array_equal(np.asarray(res.domain_idx), dom_idx_cpp)
