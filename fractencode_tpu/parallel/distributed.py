@@ -6,9 +6,11 @@ initialization across hosts, with the failure surface the brief asks for —
 fail loudly with enough context to act on, since the recovery story for a
 deterministic pure encoder is simply "rerun the failed work".
 
-Cannot be exercised on this single-host environment; the multi-chip *logic*
-is covered by the virtual-device mesh tests (tests/test_parallel.py) and the
-driver's ``dryrun_multichip``.
+Exercised for real by ``tests/test_distributed.py``: two localhost CPU
+processes (Gloo collectives) run the full pod driver and must match a
+single-process run bitwise.  The multi-chip *logic* is additionally covered
+by the virtual-device mesh tests (tests/test_parallel.py) and the driver's
+``dryrun_multichip``.
 """
 from __future__ import annotations
 
@@ -23,12 +25,14 @@ def initialize_multihost(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    initialization_timeout: float | None = None,
 ) -> dict:
     """Initialize the multi-host runtime. Returns a summary dict.
 
     Arguments default to the standard env vars (JAX_COORDINATOR_ADDRESS /
     JAX_NUM_PROCESSES / JAX_PROCESS_ID) or TPU-pod auto-detection when all
-    are None.
+    are None.  ``initialization_timeout`` (seconds) bounds how long workers
+    wait for the coordinator before failing loudly (default: JAX's 300 s).
     """
     kwargs = {}
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
@@ -39,6 +43,8 @@ def initialize_multihost(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
+    if initialization_timeout is not None:
+        kwargs["initialization_timeout"] = initialization_timeout
     try:
         jax.distributed.initialize(**kwargs)
     except Exception as e:

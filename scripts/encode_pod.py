@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--init-timeout", type=float, default=None,
+                   help="seconds to wait for the coordinator before failing")
     return p
 
 
@@ -102,7 +104,7 @@ def main(argv=None) -> int:
     )
     if multi:
         info = initialize_multihost(args.coordinator, args.num_processes,
-                                    args.process_id)
+                                    args.process_id, args.init_timeout)
         print(f"multihost up: {info}")
 
     import jax.numpy as jnp
@@ -132,39 +134,54 @@ def main(argv=None) -> int:
     else:
         global_batch = jax.device_put(jnp.asarray(local), sharding)
 
+    def pull_scalar(x):
+        """Multihost-safe completion barrier: reduce the (possibly
+        non-process-local) sharded array to a replicated scalar every
+        process can fetch — ``device_get`` of a global array whose shards
+        live on other hosts raises "not fully addressable"."""
+        return float(jax.jit(lambda a: jnp.asarray(a, jnp.float32).sum())(x))
+
     # warmup (compile)
     results = encode_batch_sharded(global_batch, cfg, mesh, args.strategy)
-    np.asarray(jax.device_get(results[0].domain_idx))
+    pull_scalar(results[0].domain_idx)
 
     times = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
         results = encode_batch_sharded(global_batch, cfg, mesh, args.strategy)
-        np.asarray(jax.device_get(results[-1].domain_idx))
-        np.asarray(jax.device_get(results[-1].s))
+        pull_scalar(results[-1].domain_idx)
+        pull_scalar(results[-1].s)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     frames_s = args.batch / dt
     mpix_s = frames_s * args.size * args.size / 1e6
+    # deterministic cross-run checksum (same value on every process; lets a
+    # 2-process run be compared against a single-process run of the same
+    # config in tests/test_distributed.py)
+    chk = sum(pull_scalar(r.domain_idx) + pull_scalar(r.transform)
+              for r in results)
     if jax.process_index() == 0:
         print(
             f"encode: {args.batch}x{args.size}^2 strategy={args.strategy} "
             f"mesh={dict(mesh.shape)} hosts={n_hosts}: "
             f"{dt:.4f} s -> {frames_s:.2f} frames/s, {mpix_s:.1f} Mpix/s"
         )
+        print(f"checksum: {chk:.0f}")
 
     if args.decode:
         outs, iters, mse = decode_batch_sharded(results, mesh)
-        outs.block_until_ready()
+        pull_scalar(iters)
         t0 = time.perf_counter()
         outs, iters, mse = decode_batch_sharded(results, mesh)
-        outs.block_until_ready()
+        iters_sum = pull_scalar(iters)
+        out_chk = pull_scalar(outs)
         dt = time.perf_counter() - t0
         if jax.process_index() == 0:
             print(
                 f"decode: {dt:.4f} s -> {args.batch / dt:.2f} frames/s "
-                f"(iters={np.asarray(iters).tolist()})"
+                f"(mean iters={iters_sum / args.batch:.1f})"
             )
+            print(f"decode checksum: {out_chk:.0f}")
     return 0
 
 
