@@ -127,6 +127,40 @@ def main():
     dt = time_encode(lambda: encode_plane(p2048, cfg), probe_plane)
     emit("encode_2048px_ms", dt * 1e3, "ms")
 
+    # --- decode tracking (regressions were invisible before round 3)
+    probe_mse = lambda r: float(r[2])
+    dt = time_encode(lambda: decode_plane(res), probe_mse)
+    emit("decode_512px_ms", dt * 1e3, "ms")
+    res2048 = encode_plane(p2048, cfg)
+    probe_plane(res2048)
+    dt = time_encode(lambda: decode_plane(res2048), probe_mse, reps=2)
+    emit("decode_2048px_ms", dt * 1e3, "ms")
+    del res2048
+
+    # --- rate-distortion at the default 5-bit s / 7-bit o quantization
+    # (north star fixes PSNR: a speed win that costs quality must show here)
+    from fractencode_tpu.codec import pack_result, unpack_result
+
+    blob = pack_result(res, plane=plane)  # mean-centred o (the CLI default)
+    outq, _, _ = decode_plane(unpack_result(blob))
+    mse_q = max(((np.asarray(outq).astype(float) - plane.astype(float)) ** 2).mean(), 1e-9)
+    emit("psnr_512px_q5s7o_db", 10.0 * np.log10(255.0**2 / mse_q), "dB")
+    emit("bpp_512px_q5s7o", len(blob) * 8.0 / (h * w), "bits/px")
+
+    from fractencode_tpu.codec.bitstream_quadtree import (
+        pack_quadtree,
+        unpack_quadtree,
+    )
+    from fractencode_tpu.encode.quadtree import decode_plane_quadtree
+
+    p1024_np = np.asarray(p1024)
+    qres = encode_plane_quadtree(p1024, cfg, qcfg)
+    qblob = pack_quadtree(qres, plane=p1024_np)
+    outq, _, _ = decode_plane_quadtree(unpack_quadtree(qblob))
+    mse_q = max(((np.asarray(outq).astype(float) - p1024_np.astype(float)) ** 2).mean(), 1e-9)
+    emit("psnr_1024px_quadtree_q5s7o_db", 10.0 * np.log10(255.0**2 / mse_q), "dB")
+    emit("bpp_1024px_quadtree_q5s7o", len(qblob) * 8.0 / (1024 * 1024), "bits/px")
+
     # --- config 5 (single-chip lane): 4096^2 default search
     p4096 = stage(tile_to(plane, 4096))
     jnp.add(p4096, 0).block_until_ready()

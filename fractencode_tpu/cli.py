@@ -262,7 +262,7 @@ def main(argv=None) -> int:
         # mean-centred parameterization: o-quantization error stays ~1 gray
         # level instead of being amplified by s (see codec/bitstream.py)
         if args.quadtree:
-            blob = b"".join(pack_quadtree(r) for r, _ in results)
+            blob = b"".join(pack_quadtree(r, plane=pl) for r, pl in results)
         else:
             blob = b"".join(pack_result(r, plane=pl) for r, pl in results)
         with open(args.out, "wb") as f:

@@ -6,10 +6,12 @@ quantizer ranges), then per level:
     structure, no pointers needed because every level is a full grid), then
   * packed (domain_idx, transform, s_q, o_q) for the accepted blocks only.
 
-Uses the same robust-range 5/7-bit quantization as the uniform stream; s and
-o are stored in plain (s, o) parameterization here (mean-centred is a uniform-
-stream option; quadtree levels re-derive means differently and plain o keeps
-the decoder identical to the in-memory path).
+Uses the same robust-range 5/7-bit quantization as the uniform stream.
+When ``pack_quadtree`` is given the source ``plane``, 'o' is stored as each
+accepted block's target mean and the decoder applies ``s*(D - mean(D)) + o``
+(the mean-centred parameterization of the uniform stream,
+``bitstream.pack_result`` — bounds o-quantization error to ~step/2 gray
+levels instead of letting s-error multiply full-magnitude pixels).
 """
 from __future__ import annotations
 
@@ -27,22 +29,43 @@ _MAGIC = b"FTQ1"
 # (valid bit | dom | transform | s_q | o_q) so both formats share the native
 # C++ packer (native/bitpack.cpp); the valid bit is constant 1 here (only
 # accepted blocks are stored) at a cost of 1 bit per leaf.
-_VERSION = 2
-_HDR_FMT = "<4sHHIIHH"  # magic, version, nlevels, width, height, sbits, obits
+# v3: adds a flags field (bit 0 = mean-centred o).
+_VERSION = 3
+_FLAG_O_IS_MEAN = 1
+# magic, version, flags, nlevels, width, height, sbits, obits
+_HDR_FMT = "<4sHHHIIHH"
 _LVL_FMT = "<HHHIffff"  # range, domain, step, naccept, smin, smax, omin, omax
 
 
 def pack_quadtree(result, s_bits: int = DEFAULT_S_BITS,
-                  o_bits: int = DEFAULT_O_BITS) -> bytes:
+                  o_bits: int = DEFAULT_O_BITS, plane=None) -> bytes:
+    """Serialize a ``QuadtreeResult``.  With ``plane`` (the source image),
+    o is stored mean-centred (see module docstring) — measured >5 dB at the
+    default bit budget, same as the uniform stream."""
+    o_is_mean = plane is not None
+    if o_is_mean:
+        p = np.asarray(plane, dtype=np.float64)
+        h, w = p.shape
     parts = [
-        struct.pack(_HDR_FMT, _MAGIC, _VERSION, len(result.levels),
+        struct.pack(_HDR_FMT, _MAGIC, _VERSION,
+                    _FLAG_O_IS_MEAN if o_is_mean else 0, len(result.levels),
                     result.width, result.height, s_bits, o_bits)
     ]
     for lvl in result.levels:
         acc = np.asarray(lvl.accepted)
         sel = np.where(acc)[0]
         s = np.asarray(lvl.s, np.float64)[sel]
-        o = np.asarray(lvl.o, np.float64)[sel]
+        if o_is_mean:
+            rs = lvl.range_size
+            means = (
+                p.reshape(h // rs, rs, w // rs, rs)
+                .transpose(0, 2, 1, 3)
+                .reshape(-1, rs * rs)
+                .mean(axis=1)
+            )
+            o = means[sel]
+        else:
+            o = np.asarray(lvl.o, np.float64)[sel]
         dom = np.asarray(lvl.domain_idx, np.uint32)[sel]
         tr = np.asarray(lvl.transform, np.uint32)[sel]
 
@@ -90,11 +113,12 @@ def unpack_quadtree(data: bytes):
     from ..encode.quadtree import QuadtreeLevel, QuadtreeResult
 
     off = struct.calcsize(_HDR_FMT)
-    magic, version, nlevels, width, height, s_bits, o_bits = struct.unpack(
-        _HDR_FMT, data[:off]
+    magic, version, flags, nlevels, width, height, s_bits, o_bits = (
+        struct.unpack(_HDR_FMT, data[:off])
     )
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad quadtree bitstream header")
+    o_is_mean = bool(flags & _FLAG_O_IS_MEAN)
 
     levels = []
     for _ in range(nlevels):
@@ -157,6 +181,7 @@ def unpack_quadtree(data: bytes):
                 range_size=range_size,
                 domain_size=domain_size,
                 domain_step=domain_step,
+                o_is_mean=o_is_mean,
             )
         )
     return QuadtreeResult(levels=levels, width=width, height=height)

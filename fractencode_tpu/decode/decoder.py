@@ -201,6 +201,48 @@ def _decode_step(img_u8, tables, s, o, height, width, target_size, o_is_mean=Fal
     )
 
 
+def _mean_init_image(result: EncodeResult, dcfg: DecoderConfig):
+    """Piecewise-constant start image from the block-mean fixed point.
+
+    Each range's decoded mean is ~``s*mean(domain) + o`` and (for the
+    step%ts == 0 geometries) a domain's mean is exactly the mean of the
+    ``(sw/ts)^2`` range blocks it covers — so the block means satisfy their
+    own [R]-sized contraction, solved here with a fori_loop of one tiny
+    gather+mean per step (~1000x less work per iteration than full-res).
+    Returns a [H, W] u8 image, or None when the geometry doesn't qualify.
+    """
+    h, w = result.height, result.width
+    ts = result.target_size
+    sw = result.source_size
+    step = result.domain_step
+    ny, nxr = h // ts, w // ts
+    s = jnp.where(result.valid, result.s, 0.0)
+    o = jnp.where(result.valid, result.o, 0.0)
+    if result.o_is_mean:
+        # out = s*(samp - mean) + o => block mean is just o: one shot
+        mu = jnp.clip(o, 0.0, 255.0)
+    else:
+        if step % ts or sw % ts or step == 0:
+            return None
+        nxd = (w - sw) // step + 1
+        kb = sw // ts
+        dom = result.domain_idx
+        oy = (dom // nxd) * (step // ts)  # domain origin in range-block units
+        ox = (dom % nxd) * (step // ts)
+        di, dj = np.meshgrid(np.arange(kb), np.arange(kb), indexing="ij")
+        offs = (di.reshape(-1) * nxr + dj.reshape(-1)).astype(np.int32)
+        gather_idx = (oy * nxr + ox)[:, None] + jnp.asarray(offs)[None, :]
+
+        def body(_, mu):
+            dm = mu[gather_idx].mean(axis=1)
+            return jnp.clip(s * dm + o, 0.0, 255.0)
+
+        mu0 = jnp.full((ny * nxr,), float(dcfg.initial_value), jnp.float32)
+        mu = jax.lax.fori_loop(0, dcfg.mean_init_iters, body, mu0)
+    img = jnp.floor(mu).astype(jnp.uint8).reshape(ny, nxr)
+    return jnp.repeat(jnp.repeat(img, ts, axis=0), ts, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("dcfg",))
 def decode_plane(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig()):
     """Decode to a fixed point. Returns (plane u8 [H, W], iterations, mse).
@@ -217,6 +259,10 @@ def decode_plane(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig()):
     )
 
     init = jnp.full((h, w), dcfg.initial_value, dtype=jnp.uint8)
+    if dcfg.initial == "means":
+        mi = _mean_init_image(result, dcfg)
+        if mi is not None:
+            init = mi
 
     def cond(carry):
         img, prev, steps, mse, done, best, since = carry

@@ -265,6 +265,16 @@ def _classed_statics(r: int, m: int, cfg: EncoderConfig,
     block_m = min(DEFAULT_BM, _round_up(m, 128))
     r_pad = _round_up(r, block_r) + _NUM_CLASS_BINS * block_r
     m_pad = _round_up(m, block_m) + n_col_bins * block_m
+    # the packed pair list stores the col-tile index in _CT_BITS bits
+    # (ops.matcher_pallas._pack_pairs); 8K+ configs must fail loudly here
+    # instead of silently corrupting packed pairs
+    from ..ops.matcher_pallas import _CT_BITS
+
+    assert m_pad // block_m < (1 << _CT_BITS), (
+        f"column tile count {m_pad // block_m} overflows the {_CT_BITS}-bit "
+        f"pair-list field (image too large for the classed kernel layout; "
+        f"shard the domain axis instead)"
+    )
     worst_pairs = (r_pad // block_r) * (m_pad // block_m) + r_pad // block_r
     p_cap = min(worst_pairs, PAIR_CAP)
     return block_r, block_m, r_pad, m_pad, worst_pairs, p_cap

@@ -42,7 +42,7 @@ from .matcher import search, search_pallas, search_pallas_classed
 
 __all__ = ["QuadtreeConfig", "QuadtreeResult", "encode_plane_quadtree",
            "encode_batch_quadtree", "encode_batch_quadtree_sharded",
-           "decode_plane_quadtree"]
+           "decode_plane_quadtree", "decode_batch_quadtree_sharded"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +86,11 @@ class QuadtreeLevel:
     range_size: int = dataclasses.field(metadata=dict(static=True))
     domain_size: int = dataclasses.field(metadata=dict(static=True))
     domain_step: int = dataclasses.field(metadata=dict(static=True))
+    # True when 'o' stores the target block mean and the decoder applies
+    # s*(D - mean(D)) + o (the bitstream's mean-centred parameterization;
+    # see codec.bitstream.pack_result)
+    o_is_mean: bool = dataclasses.field(default=False,
+                                        metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -350,11 +355,14 @@ def _level_tables(level: QuadtreeLevel, width: int, height: int):
     )
 
 
-def _level_step(img_u8, tables, s, o, height, width, range_size):
+def _level_step(img_u8, tables, s, o, height, width, range_size,
+                o_is_mean=False):
     """Full-level decode image (same math as the uniform decoder)."""
     from ..decode.decoder import sample_domains
 
     samp = sample_domains(img_u8, tables)
+    if o_is_mean:
+        samp = samp - samp.mean(axis=-1, keepdims=True)
     out = s[:, None] * samp + o[:, None]
     out = jnp.floor(jnp.clip(out, 0.0, 255.0))
     ny = height // range_size
@@ -366,13 +374,9 @@ def _level_step(img_u8, tables, s, o, height, width, range_size):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("dcfg",))
-def decode_plane_quadtree(result: QuadtreeResult,
-                          dcfg: DecoderConfig = DecoderConfig()):
-    """Fixed-point decode of a quadtree encode. Returns (u8 image, iters, mse)."""
-    h, w = result.height, result.width
-
-    idxs = [_level_tables(l, w, h) for l in result.levels]
+def _decode_quadtree_loop(levels, h: int, w: int, dcfg: DecoderConfig):
+    """The shared fixed-point loop (single-plane and batch-sharded decode)."""
+    idxs = [_level_tables(l, w, h) for l in levels]
     pixel_masks = [
         jnp.repeat(
             jnp.repeat(
@@ -381,13 +385,14 @@ def decode_plane_quadtree(result: QuadtreeResult,
             ),
             l.range_size, axis=1,
         )
-        for l in result.levels
+        for l in levels
     ]
 
     def step(img):
         out = jnp.zeros((h, w), jnp.float32)
-        for l, idx, pmask in zip(result.levels, idxs, pixel_masks):
-            lvl = _level_step(img, idx, l.s, l.o, h, w, l.range_size)
+        for l, idx, pmask in zip(levels, idxs, pixel_masks):
+            lvl = _level_step(img, idx, l.s, l.o, h, w, l.range_size,
+                              l.o_is_mean)
             out = jnp.where(pmask, lvl, out)
         return out.astype(jnp.uint8)
 
@@ -419,3 +424,73 @@ def decode_plane_quadtree(result: QuadtreeResult,
          jnp.bool_(False), jnp.float32(jnp.inf), jnp.int32(0)),
     )
     return img, jnp.where(done, steps - 1, steps), mse
+
+
+@functools.partial(jax.jit, static_argnames=("dcfg",))
+def decode_plane_quadtree(result: QuadtreeResult,
+                          dcfg: DecoderConfig = DecoderConfig()):
+    """Fixed-point decode of a quadtree encode. Returns (u8 image, iters, mse)."""
+    return _decode_quadtree_loop(result.levels, result.height, result.width,
+                                 dcfg)
+
+
+@functools.partial(jax.jit, static_argnames=("statics", "mesh", "dcfg",
+                                             "h", "w"))
+def _decode_batch_quadtree_impl(level_arrays, statics, mesh, dcfg, h, w):
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from ..parallel.mesh import DATA_AXIS
+
+    def body(*local_arrays):
+        def one(*arrs):
+            levels = [
+                QuadtreeLevel(
+                    domain_idx=a[0], transform=a[1], s=a[2], o=a[3],
+                    error=jnp.zeros_like(a[2]), accepted=a[4],
+                    range_size=st[0], domain_size=st[1], domain_step=st[2],
+                    o_is_mean=st[3],
+                )
+                for a, st in zip(arrs, statics)
+            ]
+            # carry must carry the data-varying axis (cf. _decode_batch_impl)
+            img, steps, mse = _decode_quadtree_loop(levels, h, w, dcfg)
+            return img, steps, mse
+
+        return jax.vmap(one)(*local_arrays)
+
+    spec_in = tuple(tuple([P(DATA_AXIS)] * 5) for _ in statics)
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=spec_in,
+        out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )(*level_arrays)
+
+
+def decode_batch_quadtree_sharded(results: list[QuadtreeResult], mesh,
+                                  dcfg: DecoderConfig = DecoderConfig()):
+    """Decode a batch of quadtree encodes data-parallel over the mesh's
+    'data' axis (the decode-side counterpart of
+    ``encode_batch_quadtree_sharded``; per-level geometry is static, the
+    acceptance masks ride along as data).
+
+    Returns ([B, H, W] u8 images, [B] iterations, [B] final mse).
+    """
+    r0 = results[0]
+    h, w = r0.height, r0.width
+    statics = tuple(
+        (l.range_size, l.domain_size, l.domain_step, l.o_is_mean)
+        for l in r0.levels
+    )
+    level_arrays = tuple(
+        (
+            jnp.stack([r.levels[li].domain_idx for r in results]),
+            jnp.stack([r.levels[li].transform for r in results]),
+            jnp.stack([r.levels[li].s for r in results]),
+            jnp.stack([r.levels[li].o for r in results]),
+            jnp.stack([r.levels[li].accepted for r in results]),
+        )
+        for li in range(len(r0.levels))
+    )
+    return _decode_batch_quadtree_impl(level_arrays, statics, mesh, dcfg, h, w)

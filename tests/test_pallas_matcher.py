@@ -244,3 +244,19 @@ def test_threshold_frontier_matches_oracle(rng, threshold, use_classifier):
             np.asarray(getattr(ro, f)), np.asarray(getattr(rp, f)),
             err_msg=f"threshold={threshold} cls={use_classifier} field={f}",
         )
+
+
+def test_classed_statics_8k_overflow_guard():
+    """8K+ images overflow the pair list's 10-bit col-tile field: the layout
+    must fail loudly (matcher_pallas._pack_pairs) instead of silently
+    corrupting packed pairs."""
+    from fractencode_tpu.encode.matcher import _classed_statics
+
+    cfg = EncoderConfig()
+    # 4096^2 still fits
+    d4 = ((4096 - 16) // 8 + 1) ** 2
+    _classed_statics((4096 // 4) ** 2, d4 * 4, cfg)
+    # 8192^2 must raise
+    d8 = ((8192 - 16) // 8 + 1) ** 2
+    with pytest.raises(AssertionError, match="pair-list field"):
+        _classed_statics((8192 // 4) ** 2, d8 * 4, cfg)

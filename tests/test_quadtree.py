@@ -113,6 +113,17 @@ def test_quadtree_bitstream_roundtrip(lenna_y):
     p_b = float(psnr(img, np.asarray(out_b)))
     assert p_b > p_a - 3.0, (p_b, p_a)
 
+    # mean-centred o (pack with the source plane): quantization loss must
+    # stay within ~1.5 dB of the unquantized decode at the same byte size
+    blob_m = pack_quadtree(res, plane=img)
+    assert len(blob_m) == len(blob)
+    back_m = unpack_quadtree(blob_m)
+    assert back_m.levels[0].o_is_mean
+    out_m, _, _ = decode_plane_quadtree(back_m)
+    p_m = float(psnr(img, np.asarray(out_m)))
+    assert p_m > p_a - 1.5, (p_m, p_a)
+    assert p_m > p_b, (p_m, p_b)
+
 
 def test_batch_quadtree_matches_single(rng):
     """encode_batch_quadtree == per-plane encode_plane_quadtree bitwise."""
@@ -209,3 +220,28 @@ def test_quadtree_decode_uses_cb_tables(rng):
     assert modes[4] == "cb" and modes[8] == "cb", modes
     out, iters, mse = decode_plane_quadtree(res, DecoderConfig())
     assert out.shape == (64, 64) and out.dtype == np.uint8
+
+
+def test_sharded_quadtree_decode_matches_single(rng):
+    """decode_batch_quadtree_sharded (data-parallel over the mesh) must be
+    pixel-identical to decode_plane_quadtree per image."""
+    import jax
+
+    from fractencode_tpu.encode.quadtree import (
+        decode_batch_quadtree_sharded,
+        encode_plane_quadtree,
+    )
+    from fractencode_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    imgs = rng.integers(0, 256, size=(2, 64, 64), dtype=np.uint8)
+    cfg = EncoderConfig()
+    qcfg = QuadtreeConfig(min_size=4, max_size=16, error_threshold=60.0)
+    results = [encode_plane_quadtree(im, cfg, qcfg) for im in imgs]
+    mesh = make_mesh(n_data=2, n_search=1)
+    outs, iters, mses = decode_batch_quadtree_sharded(results, mesh)
+    for i in range(2):
+        single, it_s, mse_s = decode_plane_quadtree(results[i])
+        np.testing.assert_array_equal(np.asarray(outs[i]), np.asarray(single))
+        assert int(iters[i]) == int(it_s), (int(iters[i]), int(it_s))
