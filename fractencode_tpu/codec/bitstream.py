@@ -70,6 +70,9 @@ def _bits_to_ints(bits: np.ndarray) -> np.ndarray:
 
 
 _FLAG_O_IS_MEAN = 1
+# flags bits 4-7: num_transforms the search considered (0 = legacy -> 8);
+# lets the decoder build gather tables for only the searched isometries
+_NT_SHIFT = 4
 
 
 def pack_result(
@@ -143,7 +146,8 @@ def pack_result(
         _HDR_FMT,
         _MAGIC,
         _VERSION,
-        _FLAG_O_IS_MEAN if o_is_mean else 0,
+        (_FLAG_O_IS_MEAN if o_is_mean else 0)
+        | (getattr(result, "num_transforms", 8) << _NT_SHIFT),
         result.width,
         result.height,
         result.source_size,
@@ -175,6 +179,7 @@ def unpack_result(data: bytes):
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad bitstream header")
     o_is_mean = bool(flags & _FLAG_O_IS_MEAN)
+    num_transforms = ((flags >> _NT_SHIFT) & 0xF) or 8
 
     d_bits = _bit_width(num_domains)
     t_bits = 3
@@ -214,4 +219,5 @@ def unpack_result(data: bytes):
         target_size=target_size,
         domain_step=domain_step,
         o_is_mean=o_is_mean,
+        num_transforms=num_transforms,
     )

@@ -32,6 +32,7 @@ _MAGIC = b"FTQ1"
 # v3: adds a flags field (bit 0 = mean-centred o).
 _VERSION = 3
 _FLAG_O_IS_MEAN = 1
+_NT_SHIFT = 4  # flags bits 4-7: num_transforms (0 = legacy -> 8)
 # magic, version, flags, nlevels, width, height, sbits, obits
 _HDR_FMT = "<4sHHHIIHH"
 _LVL_FMT = "<HHHIffff"  # range, domain, step, naccept, smin, smax, omin, omax
@@ -46,9 +47,11 @@ def pack_quadtree(result, s_bits: int = DEFAULT_S_BITS,
     if o_is_mean:
         p = np.asarray(plane, dtype=np.float64)
         h, w = p.shape
+    nt = getattr(result.levels[0], "num_transforms", 8) if result.levels else 8
     parts = [
         struct.pack(_HDR_FMT, _MAGIC, _VERSION,
-                    _FLAG_O_IS_MEAN if o_is_mean else 0, len(result.levels),
+                    (_FLAG_O_IS_MEAN if o_is_mean else 0) | (nt << _NT_SHIFT),
+                    len(result.levels),
                     result.width, result.height, s_bits, o_bits)
     ]
     for lvl in result.levels:
@@ -119,6 +122,7 @@ def unpack_quadtree(data: bytes):
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad quadtree bitstream header")
     o_is_mean = bool(flags & _FLAG_O_IS_MEAN)
+    num_transforms = ((flags >> _NT_SHIFT) & 0xF) or 8
 
     levels = []
     for _ in range(nlevels):
@@ -182,6 +186,7 @@ def unpack_quadtree(data: bytes):
                 domain_size=domain_size,
                 domain_step=domain_step,
                 o_is_mean=o_is_mean,
+                num_transforms=num_transforms,
             )
         )
     return QuadtreeResult(levels=levels, width=width, height=height)

@@ -106,7 +106,8 @@ def _patch_tap_tables(source_size: int, target_size: int, width: int,
 
 
 def build_decode_tables(domain_idx, transform, width, height, source_size,
-                        target_size, domain_step):
+                        target_size, domain_step,
+                        num_transforms: int = NUM_TRANSFORMS):
     """Gather tables for one map-set application.
 
     Preferred ("cb"): re-sample the whole (domain, isometry) pool from the
@@ -129,8 +130,12 @@ def build_decode_tables(domain_idx, transform, width, height, source_size,
         patch = _patch_tap_tables(source_size, target_size, width)
         if patch is not None:
             pos, tap_idx = patch
+            # only the isometries the search considered: stored transform
+            # ids are < num_transforms, so the per-step [D*T, K] reindex
+            # shrinks proportionally (default search: 4 of 8 -> half)
+            tap_idx = tap_idx[:num_transforms]
             ny = (height - source_size) // domain_step + 1
-            code = domain_idx.astype(jnp.int32) * NUM_TRANSFORMS + \
+            code = domain_idx.astype(jnp.int32) * num_transforms + \
                 transform.astype(jnp.int32)
             return "cb", (code, pos, tap_idx, ny, nx, domain_step // 2)
 
@@ -148,6 +153,7 @@ def _build_indices(result: EncodeResult):
     return build_decode_tables(
         result.domain_idx, result.transform, result.width, result.height,
         result.source_size, result.target_size, result.domain_step,
+        getattr(result, "num_transforms", NUM_TRANSFORMS),
     )
 
 

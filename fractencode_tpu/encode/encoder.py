@@ -56,6 +56,12 @@ class EncodeResult:
     # mean adds ~1 gray level, while error in a plain offset is amplified by
     # s times the full pixel magnitude.
     o_is_mean: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Number of isometries the SEARCH considered: every stored transform id
+    # is < num_transforms, so the decoder only materializes that many rows
+    # of its gather tables (default 8 = all isometries, always safe; the
+    # default search uses 4, halving decode-table work).
+    num_transforms: int = dataclasses.field(default=8,
+                                            metadata=dict(static=True))
 
     @property
     def num_ranges(self) -> int:
@@ -141,6 +147,7 @@ def _encode_plane_impl(plane: jnp.ndarray, cfg: EncoderConfig) -> EncodeResult:
         source_size=cfg.source_size,
         target_size=cfg.target_size,
         domain_step=cfg.domain_step,
+        num_transforms=cfg.num_transforms,
     )
 
 
@@ -186,6 +193,7 @@ def encode_batch(planes, cfg: EncoderConfig | None = None) -> list[EncodeResult]
             distance=dist[i], valid=valid[i],
             width=w, height=h, source_size=cfg.source_size,
             target_size=cfg.target_size, domain_step=cfg.domain_step,
+            num_transforms=cfg.num_transforms,
         )
         for i in range(b)
     ]

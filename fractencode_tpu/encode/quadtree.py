@@ -91,6 +91,9 @@ class QuadtreeLevel:
     # see codec.bitstream.pack_result)
     o_is_mean: bool = dataclasses.field(default=False,
                                         metadata=dict(static=True))
+    # isometries the search considered (decode-table width; see EncodeResult)
+    num_transforms: int = dataclasses.field(default=8,
+                                            metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -204,6 +207,7 @@ def _encode_quadtree_impl(plane, cfg: EncoderConfig, qcfg: QuadtreeConfig,
                 range_size=rs,
                 domain_size=ds,
                 domain_step=step,
+                num_transforms=cfg.num_transforms,
             )
         )
         if not is_last:
@@ -243,7 +247,8 @@ def _level_tuple(l: QuadtreeLevel):
     return (l.domain_idx, l.transform, l.s, l.o, l.error, l.accepted)
 
 
-def _levels_from_tuples(tuples, sizes, qcfg: QuadtreeConfig, i: int | None):
+def _levels_from_tuples(tuples, sizes, qcfg: QuadtreeConfig, i: int | None,
+                        num_transforms: int = 8):
     pick = (lambda x: x) if i is None else (lambda x: x[i])
     out = []
     for rs, t in zip(sizes, tuples):
@@ -252,6 +257,7 @@ def _levels_from_tuples(tuples, sizes, qcfg: QuadtreeConfig, i: int | None):
             domain_idx=pick(t[0]), transform=pick(t[1]), s=pick(t[2]),
             o=pick(t[3]), error=pick(t[4]), accepted=pick(t[5]),
             range_size=rs, domain_size=ds, domain_step=ds // qcfg.lattice,
+            num_transforms=num_transforms,
         ))
     return out
 
@@ -288,7 +294,8 @@ def encode_batch_quadtree(planes, cfg: EncoderConfig | None = None,
     tuples = _encode_batch_quadtree_impl(planes, cfg, qcfg, backend, interpret)
     return [
         QuadtreeResult(
-            levels=_levels_from_tuples(tuples, qcfg.level_sizes, qcfg, i),
+            levels=_levels_from_tuples(tuples, qcfg.level_sizes, qcfg, i,
+                                       cfg.num_transforms),
             width=w, height=h,
         )
         for i in range(b)
@@ -335,7 +342,8 @@ def encode_batch_quadtree_sharded(planes, cfg: EncoderConfig,
     tuples = impl(planes)
     return [
         QuadtreeResult(
-            levels=_levels_from_tuples(tuples, qcfg.level_sizes, qcfg, i),
+            levels=_levels_from_tuples(tuples, qcfg.level_sizes, qcfg, i,
+                                       cfg.num_transforms),
             width=w, height=h,
         )
         for i in range(b)
@@ -352,6 +360,7 @@ def _level_tables(level: QuadtreeLevel, width: int, height: int):
     return build_decode_tables(
         level.domain_idx, level.transform, width, height,
         level.domain_size, level.range_size, level.domain_step,
+        getattr(level, "num_transforms", 8),
     )
 
 
@@ -449,7 +458,7 @@ def _decode_batch_quadtree_impl(level_arrays, statics, mesh, dcfg, h, w):
                     domain_idx=a[0], transform=a[1], s=a[2], o=a[3],
                     error=jnp.zeros_like(a[2]), accepted=a[4],
                     range_size=st[0], domain_size=st[1], domain_step=st[2],
-                    o_is_mean=st[3],
+                    o_is_mean=st[3], num_transforms=st[4],
                 )
                 for a, st in zip(arrs, statics)
             ]
@@ -480,7 +489,8 @@ def decode_batch_quadtree_sharded(results: list[QuadtreeResult], mesh,
     r0 = results[0]
     h, w = r0.height, r0.width
     statics = tuple(
-        (l.range_size, l.domain_size, l.domain_step, l.o_is_mean)
+        (l.range_size, l.domain_size, l.domain_step, l.o_is_mean,
+         l.num_transforms)
         for l in r0.levels
     )
     level_arrays = tuple(

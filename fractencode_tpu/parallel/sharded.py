@@ -512,6 +512,7 @@ def encode_batch_sharded(
             source_size=cfg.source_size,
             target_size=cfg.target_size,
             domain_step=cfg.domain_step,
+            num_transforms=cfg.num_transforms,
         )
         for i in range(b)
     ]
@@ -644,6 +645,7 @@ def encode_plane_sharded_image(plane, cfg: EncoderConfig, mesh: Mesh,
         domain_idx=dom, transform=tr, s=s, o=o, distance=dist, valid=valid,
         width=w, height=h, source_size=cfg.source_size,
         target_size=cfg.target_size, domain_step=cfg.domain_step,
+        num_transforms=cfg.num_transforms,
     )
 
 
@@ -671,7 +673,9 @@ def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
                 domain_idx=dom1, transform=tr1, s=s1, o=o1,
                 distance=jnp.zeros_like(s1), valid=v1,
                 width=w, height=h, source_size=template.source_size,
-                target_size=template.target_size, domain_step=template.domain_step,
+                target_size=template.target_size,
+                domain_step=template.domain_step,
+                num_transforms=template.num_transforms,
             )
             idx = _build_indices(res)
             ss = jnp.where(v1, s1, 0.0)
