@@ -11,6 +11,7 @@ arithmetic (i32 — a 255-valued 16x16 block sums to 65280, far below 2**31):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,12 +47,19 @@ def grid_block_sums(plane: jnp.ndarray, grid: Grid, ii: jnp.ndarray | None = Non
 
 
 def block_sums_nonoverlapping(plane: jnp.ndarray, block_size: int) -> jnp.ndarray:
-    """[H//b, W//b] i32 block sums for an exact non-overlapping tiling."""
+    """[H//b, W//b] i32 block sums for an exact non-overlapping tiling.
+
+    Lowered as ``reduce_window``: the naive reshape-to-[H/b, b, W/b, b] sum
+    splits the minor (lane) dimension, which XLA:TPU turns into a ~6x slower
+    relayout (measured 5.3 ms vs 0.8 ms for b=2 at 2048^2).  Integer adds
+    are order-independent, so this is bit-identical to the reshape-sum.
+    """
     h, w = plane.shape
     b = block_size
     assert h % b == 0 and w % b == 0, (h, w, b)
-    x = plane.astype(jnp.int32).reshape(h // b, b, w // b, b)
-    return x.sum(axis=(1, 3))
+    return jax.lax.reduce_window(
+        plane.astype(jnp.int32), 0, jax.lax.add, (b, b), (b, b), "VALID"
+    )
 
 
 def quadrant_sums(plane: jnp.ndarray, grid: Grid, ii: jnp.ndarray | None = None,
@@ -87,8 +95,9 @@ def quadrant_sums(plane: jnp.ndarray, grid: Grid, ii: jnp.ndarray | None = None,
                 bs = sums2x2
             else:
                 hh = half // 2
-                h2, w2 = sums2x2.shape
-                bs = sums2x2.reshape(h2 // hh, hh, w2 // hh, hh).sum(axis=(1, 3))
+                bs = jax.lax.reduce_window(
+                    sums2x2, 0, jax.lax.add, (hh, hh), (hh, hh), "VALID"
+                )
         else:
             bs = block_sums_nonoverlapping(plane, half)  # [H/half, W/half]
         k = grid.step // half

@@ -158,35 +158,57 @@ def _build_indices(result: EncodeResult):
 
 
 def half_res_image(img_u8: jnp.ndarray) -> jnp.ndarray:
-    """[H, W] u8 -> [H/2, W/2] f32 2x2 box averages (multiples of 0.25)."""
-    h, w = img_u8.shape
-    x = img_u8.astype(jnp.float32).reshape(h // 2, 2, w // 2, 2)
-    return x.sum(axis=(1, 3)) * 0.25
+    """[H, W] u8/f32 -> [H/2, W/2] f32 2x2 box averages (multiples of 0.25).
+
+    ``reduce_window`` lowering: the reshape-to-[H/2, 2, W/2, 2] sum splits
+    the lane dimension, which XLA:TPU relayouts at ~6x the cost (5.45 ms vs
+    0.82 ms per decode step at 2048^2).  Sums of u8-valued floats are exact
+    in f32 in any order, so this is bit-identical.
+    """
+    s = jax.lax.reduce_window(
+        img_u8.astype(jnp.float32), 0.0, jax.lax.add, (2, 2), (2, 2), "VALID"
+    )
+    return s * 0.25
+
+
+def _half_sums_u16(img_u8: jnp.ndarray) -> jnp.ndarray:
+    """[H/2, W/2] u16 2x2 box SUMS (4x the half image, <= 1020, exact)."""
+    return jax.lax.reduce_window(
+        img_u8.astype(jnp.uint16), np.uint16(0), jax.lax.add,
+        (2, 2), (2, 2), "VALID",
+    )
 
 
 def sample_domains(img_u8, tables):
-    """[R, K] f32 sampled (2x2-averaged) domain pixels for every range."""
+    """[R, K] f32 sampled (2x2-averaged) domain pixels for every range.
+
+    The pool/gather pipeline runs in u16 quarter-units (2x2 box sums,
+    <= 1020): the per-range row gather is row-byte-bound on TPU, so halving
+    the element width cuts it ~2.7x (measured 4.1 -> 1.5 ms/step at 2048^2);
+    the f32 conversion + 0.25 scale after the gather is exact.
+    """
     kind, idx = tables
     if kind == "cb":
         code, pos, tap_idx, ny, nx, s2 = idx
-        half = half_res_image(img_u8)
+        half4 = _half_sums_u16(img_u8)
         # one strided slice per distinct patch position: [U, D] pool
         planes = [
             jax.lax.slice(
-                half, (dy, dx),
+                half4, (dy, dx),
                 (dy + (ny - 1) * s2 + 1, dx + (nx - 1) * s2 + 1),
                 (s2, s2),
             ).reshape(-1)
             for dy, dx in pos
         ]
-        base = jnp.stack(planes).T  # [D, U]
+        base = jnp.stack(planes).T  # [D, U] u16
         t_n, k_n = tap_idx.shape
         # static reindex to the per-(domain, transform) row layout
         vals = base[:, jnp.asarray(tap_idx.reshape(-1))]  # [D, T*K]
         vals = vals.reshape(ny * nx * t_n, k_n)
-        return vals[code]  # ONE contiguous-row gather per range
+        # ONE contiguous-row gather per range
+        return vals[code].astype(jnp.float32) * 0.25
     if kind == "half":
-        return half_res_image(img_u8).reshape(-1)[idx]
+        return _half_sums_u16(img_u8).reshape(-1)[idx].astype(jnp.float32) * 0.25
     flat = img_u8.astype(jnp.float32).reshape(-1)
     return flat[idx].sum(axis=-1) * 0.25
 

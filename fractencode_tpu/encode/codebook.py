@@ -90,7 +90,9 @@ def build_codebook(
     if half_taps is not None and domain_grid.step % 2 == 0:
         taps = half_taps[:num_transforms]  # [T, K] flat offsets (numpy)
         if half is None:
-            half = plane_f32.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) * 0.25
+            from ..decode.decoder import half_res_image
+
+            half = half_res_image(plane_f32)
         s2 = domain_grid.step // 2
         ny, nx = domain_grid.ny, domain_grid.nx
         if s2 >= 1:
