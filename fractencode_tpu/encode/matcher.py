@@ -301,9 +301,9 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
         r, m, cfg, masked_domains=masked)
 
     rcls01 = (range_classes + 1).astype(jnp.int32)  # bins -1..5 -> 0..6
-    ccls01 = jnp.repeat((domain_classes + 1).astype(jnp.int32), t)
+    dcls01 = (domain_classes + 1).astype(jnp.int32)
     if masked:
-        ccls01 = jnp.where(jnp.repeat(domain_mask, t), ccls01, _NUM_CLASS_BINS)
+        dcls01 = jnp.where(domain_mask, dcls01, _NUM_CLASS_BINS)
 
     # search-order columns: m = d*T + (T-1-t)
     cb_cols = cb.values[:, ::-1, :].reshape(m, k)
@@ -316,7 +316,36 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     )
 
     rpos, _, _, r_tile_cum = _class_layout(rcls01, block_r)
-    cpos, c_seg_start, c_counts, _ = _class_layout(ccls01, block_m, n_col_bins)
+
+    # Column layout at DOMAIN granularity when block_m % T == 0: all T
+    # isometries of a domain share its class and occupy T consecutive
+    # search-order columns (m = d*T + (T-1-t) is domain-major), and class
+    # segments are block_m-aligned, so the column-sorted layout is exactly
+    # the domain-sorted layout expanded T-fold.  Operand gathers then move
+    # [2*T*K]-byte rows with T times fewer descriptors — the per-column
+    # gathers were descriptor-bound (~2.5 ms each at 2048^2).
+    inv_dom = None
+    if block_m % t == 0:
+        d_pad = m_pad // t
+        dpos, d_seg_start, d_counts, _ = _class_layout(
+            dcls01, block_m // t, n_col_bins)
+        inv_dom = jnp.full((d_pad,), d, jnp.int32).at[dpos].set(
+            jnp.arange(d, dtype=jnp.int32)
+        )
+        c_seg_start = d_seg_start * t
+        c_counts = d_counts * t
+        inv_col = jnp.where(
+            (inv_dom == d)[:, None],
+            m,
+            inv_dom[:, None] * t + jnp.arange(t, dtype=jnp.int32)[None, :],
+        ).reshape(m_pad)
+    else:
+        ccls01 = jnp.repeat(dcls01, t)
+        cpos, c_seg_start, c_counts, _ = _class_layout(
+            ccls01, block_m, n_col_bins)
+        inv_col = jnp.full((m_pad,), m, jnp.int32).at[cpos].set(
+            jnp.arange(m, dtype=jnp.int32)
+        )
 
     # Permute into the class-sorted layout with GATHERS (row scatters are
     # much slower on TPU): first invert the position maps with small i32
@@ -324,9 +353,6 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     # row appended to the source).
     inv_r = jnp.full((r_pad,), r, jnp.int32).at[rpos].set(
         jnp.arange(r, dtype=jnp.int32)
-    )
-    inv_col = jnp.full((m_pad,), m, jnp.int32).at[cpos].set(
-        jnp.arange(m, dtype=jnp.int32)
     )
     pad_1 = jnp.zeros((1,), jnp.float32)
 
@@ -355,8 +381,18 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
         cl = (b4_cols & 7).astype(jnp.int8)
         pad_row8 = jnp.zeros((1, k), jnp.int8)
         ai_s = jnp.concatenate([ai, pad_row8])[inv_r]
-        ch_s = jnp.concatenate([ch, pad_row8])[inv_col]
-        cl_s = jnp.concatenate([cl, pad_row8])[inv_col]
+        if inv_dom is not None:
+            # ONE domain-row gather moves both operands (ch|cl packed into
+            # [d, 2*T*K] i8 rows), T times fewer descriptors than per-column
+            packed = jnp.concatenate(
+                [ch.reshape(d, t * k), cl.reshape(d, t * k)], axis=1)
+            packed_s = jnp.concatenate(
+                [packed, jnp.zeros((1, 2 * t * k), jnp.int8)])[inv_dom]
+            ch_s = packed_s[:, :t * k].reshape(m_pad, k)
+            cl_s = packed_s[:, t * k:].reshape(m_pad, k)
+        else:
+            ch_s = jnp.concatenate([ch, pad_row8])[inv_col]
+            cl_s = jnp.concatenate([cl, pad_row8])[inv_col]
         ranges_s = None
         cb_s = None
         # Derive the sorted per-column sums from the resident int8 operands
@@ -369,9 +405,18 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
         # appended zero slot produced).
         from ..ops.matcher_pallas import inv_var_b
 
-        b4_s = 8 * ch_s.astype(jnp.int32) + cl_s.astype(jnp.int32)
-        sb4_s = b4_s.sum(axis=1)
-        sb2_16_s = (b4_s * b4_s).sum(axis=1)
+        if inv_dom is not None:
+            # reduce in the domain-major [d_pad, T, K] view: full-lane
+            # reductions instead of 16-of-128-lane ones
+            chw = packed_s[:, :t * k].astype(jnp.int32).reshape(-1, t, k)
+            clw = packed_s[:, t * k:].astype(jnp.int32).reshape(-1, t, k)
+            b4w = 8 * chw + clw
+            sb4_s = b4w.sum(axis=2).reshape(m_pad)
+            sb2_16_s = (b4w * b4w).sum(axis=2).reshape(m_pad)
+        else:
+            b4_s = 8 * ch_s.astype(jnp.int32) + cl_s.astype(jnp.int32)
+            sb4_s = b4_s.sum(axis=1)
+            sb2_16_s = (b4_s * b4_s).sum(axis=1)
         sb_s = sb4_s.astype(jnp.float32) * 0.25
         sb2_s = sb2_16_s.astype(jnp.float32) * 0.0625
         if rank_mode(cfg.criterion, cfg.so_mode, cfg.s_max) == "ls":
@@ -381,10 +426,22 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     else:
         pad_row = jnp.zeros((1, k), jnp.float32)
         ranges_s = jnp.concatenate([ranges, pad_row])[inv_r]
-        cb_s = jnp.concatenate([cb_cols, pad_row])[inv_col]
         ai_s = ch_s = cl_s = b4_cols = None
-        sb_s = jnp.concatenate([sb, pad_1])[inv_col]
-        aux_s = jnp.concatenate([aux, pad_1])[inv_col]
+        if inv_dom is not None:
+            cbv = cb.values[:, ::-1, :].reshape(d, t * k)
+            cb_s = jnp.concatenate(
+                [cbv, jnp.zeros((1, t * k), jnp.float32)])[inv_dom]
+            cb_s = cb_s.reshape(m_pad, k)
+            sbaux = jnp.concatenate(
+                [sb.reshape(d, t), aux.reshape(d, t)], axis=1)  # [d, 2T]
+            sbaux_s = jnp.concatenate(
+                [sbaux, jnp.zeros((1, 2 * t), jnp.float32)])[inv_dom]
+            sb_s = sbaux_s[:, :t].reshape(m_pad)
+            aux_s = sbaux_s[:, t:].reshape(m_pad)
+        else:
+            cb_s = jnp.concatenate([cb_cols, pad_row])[inv_col]
+            sb_s = jnp.concatenate([sb, pad_1])[inv_col]
+            aux_s = jnp.concatenate([aux, pad_1])[inv_col]
 
     # per-range-tile class (tiles beyond the last class are padding -> 7)
     nrt = r_pad // block_r
@@ -503,10 +560,16 @@ def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
     d, t, _ = cb.values.shape
     m = d * t
     m_pad = inv_col.shape[0]
-    # pack (SumB, SumB2) so the winner lookup is ONE row gather
-    sbb = jnp.stack(
-        [cb.sum[:, ::-1].reshape(m), cb.sum_sq[:, ::-1].reshape(m)], axis=1
-    )
+
+    # ONE [r_pad, 2-3] row gather unsorts every kernel output (f32 columns
+    # bitcast to i32 ride alongside idx) — separate [R] scalar gathers were
+    # ~2x the cost
+    cols = [jax.lax.bitcast_convert_type(q_s, jnp.int32), idx_s]
+    if dist_s is not None:
+        cols.append(jax.lax.bitcast_convert_type(dist_s, jnp.int32))
+    packed_out = jnp.stack(cols, axis=1)[rpos]
+    key_r = jax.lax.bitcast_convert_type(packed_out[:, 0], jnp.float32)
+    win_sorted = packed_out[:, 1]
 
     if dist_s is None:
         # ls_fast path: convert the winner's rank key to a distance AFTER
@@ -519,14 +582,15 @@ def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
             if cfg.criterion == "raw"
             else 1.0 / k
         )
+        q_r = key_r
         dist = rank_to_dist(
-            q_s[rpos], sum_a2, sum_a,
+            q_r, sum_a2, sum_a,
             criterion=cfg.criterion, so_mode=cfg.so_mode, s_max=cfg.s_max,
             inv_norm=inv_norm, n=float(k),
         )
     else:
-        dist = dist_s[rpos]  # [R]
-    win_sorted = idx_s[rpos]
+        q_r = key_r
+        dist = jax.lax.bitcast_convert_type(packed_out[:, 2], jnp.float32)
     valid = dist < _BIG
     win_m = jnp.where(valid, inv_col[jnp.clip(win_sorted, 0, m_pad - 1)], 0)
     win_m = jnp.clip(win_m, 0, m - 1)
@@ -540,12 +604,26 @@ def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
             (ranges.astype(jnp.int32) * b4_win).sum(axis=-1).astype(jnp.float32)
             * 0.25
         )
+        # derive the winner's (SumB, SumB2) from the SAME gathered row —
+        # rowsums of 4B are the exact integers behind cb.sum / cb.sum_sq
+        # (see classed_prep), so no [R, 2] sbb gather is needed at all
+        sb_win = b4_win.sum(axis=-1).astype(jnp.float32) * 0.25
+        sb2_win = (
+            (b4_win * b4_win).sum(axis=-1).astype(jnp.float32) * 0.0625
+        )
     else:
         cb_cols = cb.values[:, ::-1, :].reshape(m, k)
         win_rows = cb_cols[win_m]
         sum_ab = (ranges * win_rows).sum(axis=-1)
-    sbb_win = sbb[win_m]  # [R, 2]
-    s, o = solve_so(sum_a, sum_a2, sbb_win[:, 0], sbb_win[:, 1], sum_ab,
+        # pack (SumB, SumB2) so the winner lookup is ONE row gather
+        sbb = jnp.stack(
+            [cb.sum[:, ::-1].reshape(m), cb.sum_sq[:, ::-1].reshape(m)],
+            axis=1,
+        )
+        sbb_win = sbb[win_m]  # [R, 2]
+        sb_win = sbb_win[:, 0]
+        sb2_win = sbb_win[:, 1]
+    s, o = solve_so(sum_a, sum_a2, sb_win, sb2_win, sum_ab,
                     float(k), cfg.so_mode, cfg.s_max)
     s = jnp.where(valid, s, 0.0)
     o = jnp.where(valid, o, 0.0)
@@ -556,7 +634,7 @@ def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
         s=s,
         o=o,
         valid=valid,
-        key=q_s[rpos],
+        key=q_r,
     )
 
 

@@ -1,0 +1,139 @@
+"""Microbench: classed_prep ch/cl gather + sb/aux derivation variants."""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from fractencode_tpu import EncoderConfig
+from fractencode_tpu.core.classify import classify_grid
+from fractencode_tpu.core.grid import uniform_grid
+from fractencode_tpu.encode.codebook import build_codebook
+from fractencode_tpu.encode.matcher import _classed_statics, _class_layout, _NUM_CLASS_BINS
+from fractencode_tpu.ops.matcher_pallas import inv_var_b
+from fractencode_tpu.image import load_gray
+
+SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+STEPS = 20
+
+plane_np = np.asarray(load_gray("/root/reference/tests/input/lenna512x512.png"))
+reps = -(-SIZE // plane_np.shape[0])
+plane_np = np.tile(plane_np, (reps, reps))[:SIZE, :SIZE]
+plane = jnp.asarray(plane_np)
+
+cfg = EncoderConfig()
+h, w = plane.shape
+dg = uniform_grid(w, h, cfg.source_size, cfg.domain_step)
+cb = build_codebook(plane.astype(jnp.float32), dg, cfg.target_size, cfg.num_transforms)
+dcls = classify_grid(plane, dg)
+d, t, k = cb.values.shape
+m = d * t
+r = (h // cfg.target_size) * (w // cfg.target_size)
+block_r, block_m, r_pad, m_pad, worst_pairs, p_cap = _classed_statics(r, m, cfg)
+
+ccls01 = jnp.repeat((dcls + 1).astype(jnp.int32), t)
+cpos, c_seg_start, c_counts, _ = _class_layout(ccls01, block_m, _NUM_CLASS_BINS)
+inv_col = jnp.full((m_pad,), m, jnp.int32).at[cpos].set(jnp.arange(m, dtype=jnp.int32))
+
+cb_cols = cb.values[:, ::-1, :].reshape(m, k)
+b4_cols = jnp.round(cb_cols * 4.0).astype(jnp.int16)
+ch = (b4_cols >> 3).astype(jnp.int8)
+cl = (b4_cols & 7).astype(jnp.int8)
+pad_row8 = jnp.zeros((1, k), jnp.int8)
+ch_cat = jnp.concatenate([ch, pad_row8])
+cl_cat = jnp.concatenate([cl, pad_row8])
+
+# domain-level layout
+dcls01 = (dcls + 1).astype(jnp.int32)
+block_d = block_m // t
+dpos, d_seg_start, d_counts, _ = _class_layout(dcls01, block_d, _NUM_CLASS_BINS)
+inv_dom = jnp.full((m_pad // t,), d, jnp.int32).at[dpos].set(jnp.arange(d, dtype=jnp.int32))
+packed = jnp.concatenate([ch.reshape(d, t * k), cl.reshape(d, t * k)], axis=1)
+packed_cat = jnp.concatenate([packed, jnp.zeros((1, 2 * t * k), jnp.int8)])
+
+jax.block_until_ready((inv_col, inv_dom, packed_cat))
+
+
+def v_gathers_only(x):
+    ch_s = (ch_cat + x)[inv_col]
+    cl_s = (cl_cat + x)[inv_col]
+    return ch_s.astype(jnp.int32).sum() + cl_s.astype(jnp.int32).sum()
+
+
+def v_full_current(x):
+    ch_s = (ch_cat + x)[inv_col]
+    cl_s = (cl_cat + x)[inv_col]
+    b4_s = 8 * ch_s.astype(jnp.int32) + cl_s.astype(jnp.int32)
+    sb4_s = b4_s.sum(axis=1)
+    sb2_16_s = (b4_s * b4_s).sum(axis=1)
+    sb_s = sb4_s.astype(jnp.float32) * 0.25
+    sb2_s = sb2_16_s.astype(jnp.float32) * 0.0625
+    aux_s = inv_var_b(sb_s, sb2_s, float(k))
+    return (ch_s.astype(jnp.int32).sum() + cl_s.astype(jnp.int32).sum()
+            + sb_s.sum() + aux_s.sum())
+
+
+def v_dom_gather(x):
+    p_s = (packed_cat + x)[inv_dom]           # [m_pad/t, 2*t*k] i8
+    ch_s = p_s[:, :t * k].reshape(m_pad, k)
+    cl_s = p_s[:, t * k:].reshape(m_pad, k)
+    return ch_s.astype(jnp.int32).sum() + cl_s.astype(jnp.int32).sum()
+
+
+def v_dom_full(x):
+    p_s = (packed_cat + x)[inv_dom]
+    ch_s = p_s[:, :t * k].reshape(m_pad, k)
+    cl_s = p_s[:, t * k:].reshape(m_pad, k)
+    b4_s = 8 * ch_s.astype(jnp.int32) + cl_s.astype(jnp.int32)
+    sb4_s = b4_s.sum(axis=1)
+    sb2_16_s = (b4_s * b4_s).sum(axis=1)
+    sb_s = sb4_s.astype(jnp.float32) * 0.25
+    sb2_s = sb2_16_s.astype(jnp.float32) * 0.0625
+    aux_s = inv_var_b(sb_s, sb2_s, float(k))
+    return (ch_s.astype(jnp.int32).sum() + cl_s.astype(jnp.int32).sum()
+            + sb_s.sum() + aux_s.sum())
+
+
+def v_dom_wide_sums(x):
+    # sums from the [m_pad/t, 2*t*k] layout directly (full 128-lane reduce),
+    # avoiding the [m_pad, k] i32 elementwise blowup for the sums
+    p_s = (packed_cat + x)[inv_dom]
+    ch_s = p_s[:, :t * k].reshape(m_pad, k)
+    cl_s = p_s[:, t * k:].reshape(m_pad, k)
+    chw = p_s[:, :t * k].astype(jnp.int32).reshape(m_pad // t, t, k)
+    clw = p_s[:, t * k:].astype(jnp.int32).reshape(m_pad // t, t, k)
+    b4w = 8 * chw + clw
+    sb4_s = b4w.sum(axis=2).reshape(m_pad)
+    sb2_16_s = (b4w * b4w).sum(axis=2).reshape(m_pad)
+    sb_s = sb4_s.astype(jnp.float32) * 0.25
+    sb2_s = sb2_16_s.astype(jnp.float32) * 0.0625
+    aux_s = inv_var_b(sb_s, sb2_s, float(k))
+    return (ch_s.astype(jnp.int32).sum() + cl_s.astype(jnp.int32).sum()
+            + sb_s.sum() + aux_s.sum())
+
+
+ref = None
+for fn in [v_gathers_only, v_full_current, v_dom_gather, v_dom_full,
+           v_dom_wide_sums]:
+    @jax.jit
+    def run(seed, fn=fn):
+        def body(_, acc):
+            v = fn(acc)
+            return (v.astype(jnp.int32) % 3).astype(jnp.int8)
+        return jax.lax.fori_loop(0, STEPS, body, seed)
+
+    run(jnp.int8(0)).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        run(jnp.int8(0)).block_until_ready()
+    dt = (time.perf_counter() - t0) / 3 / STEPS
+    print(f"{fn.__name__:>18}: {dt*1e6:8.1f} us")
+
+# correctness: sorted operands must match between col-level and dom-level
+a = jax.jit(lambda: (ch_cat)[inv_col])()
+b = jax.jit(lambda: (packed_cat)[inv_dom][:, :t * k].reshape(m_pad, k))()
+print("dom-gather bit-identical:", bool((a == b).all()))
