@@ -80,7 +80,7 @@ def main():
     import jax.numpy as jnp
 
     from fractencode_tpu import EncoderConfig, decode_plane, encode_plane
-    from fractencode_tpu.encode import encode_batch
+    from fractencode_tpu.encode import encode_batch_stacked
     from fractencode_tpu.encode.quadtree import QuadtreeConfig, encode_plane_quadtree
 
     plane = load_plane()
@@ -171,16 +171,19 @@ def main():
     # --- HEADLINE (must stay LAST): 512^2 batch-16 throughput
     batch = jnp.asarray(np.stack([plane] * 16))
     jnp.add(batch, 0).block_until_ready()
-    outs = encode_batch(batch, cfg)
-    np.asarray(outs[-1].domain_idx)
+    outs = encode_batch_stacked(batch, cfg)
+    np.asarray(outs.domain_idx)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        outs = encode_batch(batch, cfg)
-        np.asarray(outs[-1].domain_idx)
-        np.asarray(outs[-1].s)
+        outs = encode_batch_stacked(batch, cfg)
+        # stacked results + ONE small host pull as the completion barrier:
+        # every dispatch/transfer is a full tunnel RTT (~15-40 ms) on this
+        # box, so per-frame slicing or a second pull would measure tunnel
+        # overhead that real (locally attached) hosts don't pay
+        np.asarray(outs.s[-1])
         times.append(time.perf_counter() - t0)
-    encode_s = min(times) / len(batch)
+    encode_s = min(times) / batch.shape[0]
 
     mpix_s = (h * w) / encode_s / 1e6
     baseline_mpix_s = (h * w) / BASELINE_CPP_SECONDS_512 / 1e6

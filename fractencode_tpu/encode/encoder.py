@@ -181,20 +181,33 @@ def _encode_batch_impl(planes: jnp.ndarray, cfg: EncoderConfig):
     return jax.lax.map(lambda p: _encode_plane_arrays(p, cfg), planes)
 
 
-def encode_batch(planes, cfg: EncoderConfig | None = None) -> list[EncodeResult]:
-    """Encode a [B, H, W] u8 batch in one device program (frames/s mode)."""
+def encode_batch_stacked(planes, cfg: EncoderConfig | None = None) -> EncodeResult:
+    """Encode a [B, H, W] u8 batch in one device program; return ONE
+    EncodeResult whose arrays carry a leading batch axis ([B, R]).
+
+    This is the zero-dispatch form ``encode_batch`` slices: production
+    throughput loops (and the bench) should consume the stacked arrays
+    directly — the per-frame slicing is 6*B extra device ops, pure host-API
+    overhead (~µs on a locally attached TPU, but a visible fraction of the
+    program on remote-attached devices)."""
     cfg = cfg or EncoderConfig()
     planes = jnp.asarray(planes, jnp.uint8)
-    b, h, w = planes.shape
+    _, h, w = planes.shape
     dom, tr, s, o, dist, valid = _encode_batch_impl(planes, cfg)
+    return EncodeResult(
+        domain_idx=dom, transform=tr, s=s, o=o, distance=dist, valid=valid,
+        width=w, height=h, source_size=cfg.source_size,
+        target_size=cfg.target_size, domain_step=cfg.domain_step,
+        num_transforms=cfg.num_transforms,
+    )
+
+
+def encode_batch(planes, cfg: EncoderConfig | None = None) -> list[EncodeResult]:
+    """Encode a [B, H, W] u8 batch in one device program (frames/s mode)."""
+    stacked = encode_batch_stacked(planes, cfg)
+    b = stacked.domain_idx.shape[0]
     return [
-        EncodeResult(
-            domain_idx=dom[i], transform=tr[i], s=s[i], o=o[i],
-            distance=dist[i], valid=valid[i],
-            width=w, height=h, source_size=cfg.source_size,
-            target_size=cfg.target_size, domain_step=cfg.domain_step,
-            num_transforms=cfg.num_transforms,
-        )
+        jax.tree_util.tree_map(lambda a, i=i: a[i], stacked)
         for i in range(b)
     ]
 
