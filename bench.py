@@ -168,6 +168,23 @@ def main():
     emit("encode_4096px_ms", dt * 1e3, "ms")
     del p4096
 
+    # --- batch-64 throughput (secondary): deeper batches amortize the
+    # per-dispatch floor further; per-frame device work is identical
+    batch64 = jnp.asarray(np.stack([plane] * 64))
+    jnp.add(batch64, 0).block_until_ready()
+    outs = encode_batch_stacked(batch64, cfg)
+    np.asarray(outs.domain_idx[-1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = encode_batch_stacked(batch64, cfg)
+        np.asarray(outs.s[-1])
+        times.append(time.perf_counter() - t0)
+    emit("encode_throughput_512px_lenna_batch64",
+         64 * h * w / min(times) / 1e6, "Mpix/s/chip",
+         (64 * h * w / min(times)) / ((h * w) / BASELINE_CPP_SECONDS_512))
+    del batch64, outs
+
     # --- HEADLINE (must stay LAST): 512^2 batch-16 throughput
     batch = jnp.asarray(np.stack([plane] * 16))
     jnp.add(batch, 0).block_until_ready()

@@ -461,6 +461,12 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     # the classifier keeps (dynamic length), instead of the worst-case 2-D
     # grid with predicated-off steps.  Every tile gets >= 1 pair (a dummy
     # when its class has no columns) so its output block is initialized.
+    #
+    # Per-pair segment values come from scatter+cumsum "spreads" instead of
+    # searchsorted + [p_cap]-sized gathers: searchsorted lowers to a while
+    # loop (22.7 ms at 4096^2 where p_cap = 196608) while each spread is one
+    # tiny scatter plus a [p_cap] prefix sum.  Segment starts are strictly
+    # increasing (counts_eff >= 1), so scatter slots never collide.
     counts_t = col_tile_count[tile_class]  # [nrt]
     counts_eff = jnp.maximum(counts_t, 1)
     off = jnp.concatenate(
@@ -468,14 +474,25 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     )
     n_pairs = off[-1]
     p_ids = jnp.arange(p_cap, dtype=jnp.int32)
-    rt = jnp.searchsorted(off[1:], p_ids, side="right").astype(jnp.int32)
-    rt = jnp.minimum(rt, nrt - 1)
-    jj = p_ids - off[rt]
+    starts = off[:-1]  # [nrt] first pair index of each range tile's segment
+    in_cap = starts < p_cap
+    starts_c = jnp.clip(starts, 0, p_cap - 1)
+
+    def spread(vals):
+        """[nrt] per-tile values -> [p_cap] vals[rt(p)] (segment broadcast)."""
+        delta = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
+        buf = jnp.zeros((p_cap,), jnp.int32).at[starts_c].add(
+            jnp.where(in_cap, delta, 0))
+        return jnp.cumsum(buf)
+
+    rt = spread(tile_ids)
+    jj = p_ids - spread(starts)
     valid_p = p_ids < n_pairs
-    cnt = counts_t[rt]
+    cnt = spread(counts_t)
     compute = valid_p & (jj < cnt)
     first = valid_p & (jj == 0)
-    ct = col_tile_start[tile_class[rt]] + jnp.minimum(jj, jnp.maximum(cnt - 1, 0))
+    ct = spread(col_tile_start[tile_class]) + \
+        jnp.minimum(jj, jnp.maximum(cnt - 1, 0))
     pairs = _pack_pairs(rt, jnp.maximum(ct, 0), first, compute)
 
     return dict(

@@ -148,3 +148,103 @@ for variant in ["full", "noargpass", "packed", "matmul"]:
     t4 = timeit(variant, 4)
     us = (t4 - t1) / (NI * NJ * 3) * 1e6
     print(f"{variant:>10}: {us:6.2f} us/step")
+
+
+# --- transposed-operand variant: ch/cl stored [K, M] so each block DMA
+# moves (16-sublane x BM-lane) i8 tiles — 2x sublane padding instead of the
+# 8x lane padding of [M, 16] blocks; rhs is already MXU-oriented.
+
+def kernel_t(pair_ref, ai_ref, chT_ref, clT_ref, sb_ref, aux_ref,
+             q_out, idx_out):
+    p = pl.program_id(0)
+    packed = pair_ref[p]
+    first = (packed >> 1) & 1
+    ct = (packed >> 2) & 1023
+
+    @pl.when(first == 1)
+    def _init():
+        q_out[:] = jnp.full_like(q_out, -_BIG)
+        idx_out[:] = jnp.zeros_like(idx_out)
+
+    dn = (((1,), (0,)), ((), ()))
+    abh = jax.lax.dot_general(ai_ref[:], chT_ref[:], dimension_numbers=dn,
+                              preferred_element_type=jnp.int32)
+    abl = jax.lax.dot_general(ai_ref[:], clT_ref[:], dimension_numbers=dn,
+                              preferred_element_type=jnp.int32)
+    q = _rank_ls_int8(ai_ref[:], abh, abl, sb_ref[:], aux_ref[:], float(K))
+    col0 = ct * BM
+    tile_q = jnp.max(q, axis=1, keepdims=True)
+    ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    tile_arg = jnp.min(jnp.where(q == tile_q, ids, jnp.int32(2**31 - 1)),
+                       axis=1, keepdims=True) + col0
+    improved = tile_q > q_out[:]
+    idx_out[:] = jnp.where(improved, tile_arg, idx_out[:])
+    q_out[:] = jnp.where(improved, tile_q, q_out[:])
+
+
+@jax.jit
+def run_t(pairs, n_pairs, ai, chT, clT, sb, aux):
+    def _rt(p, pairs):
+        return pairs[p] >> 12
+
+    def _ct(p, pairs):
+        return (pairs[p] >> 2) & 1023
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pairs,),
+        in_specs=[
+            pl.BlockSpec((BR, K), lambda p, s: (_rt(p, s), 0)),
+            pl.BlockSpec((K, BM), lambda p, s: (0, _ct(p, s))),
+            pl.BlockSpec((K, BM), lambda p, s: (0, _ct(p, s))),
+            pl.BlockSpec((1, BM), lambda p, s: (0, _ct(p, s))),
+            pl.BlockSpec((1, BM), lambda p, s: (0, _ct(p, s))),
+        ],
+        out_specs=[
+            pl.BlockSpec((BR, 1), lambda p, s: (_rt(p, s), 0)),
+            pl.BlockSpec((BR, 1), lambda p, s: (_rt(p, s), 0)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel_t,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((R_PAD, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R_PAD, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                96 * 1024 * 1024,
+                (6 * BR * BM + 4 * BM * K + 2 * BR * K) * 4 + 4 * 1024 * 1024,
+            )),
+    )(pairs, ai, chT, clT, sb, aux)
+
+
+chT = jnp.asarray(np.asarray(ch).T.copy())
+clT = jnp.asarray(np.asarray(cl).T.copy())
+jax.block_until_ready((chT, clT))
+
+
+def timeit_t(reps):
+    pairs = make_pairs(reps)
+    n = jnp.int32(NI * NJ * reps)
+    q, idx = run_t(pairs, n, ai, chT, clT, sb, aux)
+    float(q.sum())
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        q, idx = run_t(pairs, n, ai, chT, clT, sb, aux)
+        float(q.sum())
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+# correctness vs the row-major full variant
+pairs1 = make_pairs(1)
+qa, ia = run(pairs1, jnp.int32(NI * NJ), ai, ch, cl, sb, aux, "full")
+qb, ib = run_t(pairs1, jnp.int32(NI * NJ), ai, chT, clT, sb, aux)
+print("transposed bit-identical:",
+      bool((np.asarray(qa) == np.asarray(qb)).all()
+           and (np.asarray(ia) == np.asarray(ib)).all()))
+t1, t4 = timeit_t(1), timeit_t(4)
+print(f"transposed: {(t4-t1)/(NI*NJ*3)*1e6:6.2f} us/step")

@@ -138,3 +138,29 @@ def test_encode_batch_pallas_matches_single(rng):
         np.testing.assert_allclose(
             np.asarray(batch[i].s), np.asarray(single.s), atol=1e-6
         )
+
+
+def test_encode_batch_stacked_matches_list(rng):
+    """The stacked form is the exact arrays encode_batch slices, and a
+    stacked frame decodes identically to its sliced EncodeResult."""
+    import jax.tree_util as jtu
+
+    from fractencode_tpu.encode import encode_batch, encode_batch_stacked
+
+    cfg = EncoderConfig()
+    imgs = rng.integers(0, 256, size=(3, 64, 64), dtype=np.uint8)
+    stacked = encode_batch_stacked(imgs, cfg)
+    assert stacked.domain_idx.shape[0] == 3
+    assert stacked.width == 64 and stacked.num_transforms == cfg.num_transforms
+    frames = encode_batch(imgs, cfg)
+    for i, frame in enumerate(frames):
+        for name in ("domain_idx", "transform", "s", "o", "distance", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(stacked, name)[i]),
+                np.asarray(getattr(frame, name)),
+            )
+    # a sliced stacked frame is a full EncodeResult: decode it
+    frame0 = jtu.tree_map(lambda a: a[0], stacked)
+    out_a, it_a, _ = decode_plane(frame0, DecoderConfig(max_iterations=8))
+    out_b, it_b, _ = decode_plane(frames[0], DecoderConfig(max_iterations=8))
+    assert np.array_equal(np.asarray(out_a), np.asarray(out_b))
