@@ -103,6 +103,15 @@ def main():
     stage = lambda a: jnp.asarray(a)
     probe_plane = lambda r: np.asarray(r.domain_idx)
 
+    # --- single-frame 512^2 latency (the interactive-latency story: one
+    # dispatch, so on this tunnel-attached box it carries the full RTT floor
+    # that batch throughput amortizes away — see the headline lanes below)
+    p512 = stage(plane)
+    jnp.add(p512, 0).block_until_ready()
+    dt = time_encode(lambda: encode_plane(p512, cfg), probe_plane, reps=5)
+    emit("encode_512px_ms", dt * 1e3, "ms",
+         (BASELINE_CPP_SECONDS_512 * 1e3) / (dt * 1e3))
+
     # --- config 1: 256^2, 8x8/16x16, FULL search (no classifier), 8 isometries
     p256 = stage(plane[:256, :256])
     jnp.add(p256, 0).block_until_ready()
@@ -121,6 +130,19 @@ def main():
     )
     emit("encode_1024px_quadtree_ms", dt * 1e3, "ms")
 
+    # quadtree throughput lane: the fused pyramid's device time is ~8 ms
+    # at 1024^2 — the single-shot number above is dominated by this box's
+    # per-dispatch tunnel floor, so also report the 8-frame batched form
+    # (one dispatch) as per-frame time
+    from fractencode_tpu.encode.quadtree import encode_batch_quadtree
+
+    pq8 = jnp.asarray(np.stack([np.asarray(p1024)] * 8))
+    jnp.add(pq8, 0).block_until_ready()
+    probe_qb = lambda rs: np.asarray(rs[-1].levels[-1].domain_idx)
+    dt = time_encode(lambda: encode_batch_quadtree(pq8, cfg, qcfg), probe_qb)
+    emit("encode_1024px_quadtree_batch8_ms_per_frame", dt * 1e3 / 8, "ms")
+    del pq8
+
     # --- config 4: 2048^2 full domain pool, default search
     p2048 = stage(tile_to(plane, 2048))
     jnp.add(p2048, 0).block_until_ready()
@@ -136,6 +158,19 @@ def main():
     dt = time_encode(lambda: decode_plane(res2048), probe_mse, reps=2)
     emit("decode_2048px_ms", dt * 1e3, "ms")
     del res2048
+
+    # --- batch decode throughput (BASELINE config 5's decode lane: the
+    # consumer loop of Encoder2.hpp:67-89 at rate; one device program for
+    # 16 frames amortizes the tunnel dispatch floor like the encode lanes)
+    from fractencode_tpu.decode import decode_batch_stacked
+
+    batch16 = jnp.asarray(np.stack([plane] * 16))
+    res_b16 = encode_batch_stacked(batch16, cfg)
+    np.asarray(res_b16.s[-1])
+    dt = time_encode(lambda: decode_batch_stacked(res_b16),
+                     lambda r: float(np.asarray(r[2][-1])))
+    emit("decode_throughput_512px_batch16", 16 / dt, "frames/s")
+    del batch16, res_b16
 
     # --- rate-distortion at the default 5-bit s / 7-bit o quantization
     # (north star fixes PSNR: a speed win that costs quality must show here)

@@ -196,26 +196,34 @@ def main(argv=None) -> int:
     if args.decode_file:
         from .codec import unpack_result
         from .codec.bitstream_quadtree import unpack_quadtree
+        from .codec.container import is_container, unpack_container
         from .decode import decode_plane
-        from .image import save_plane
+        from .image import save_plane, save_yuv
+
+        def _decode_blob(blob):
+            if blob[:4] == b"FTQ1":
+                from .encode.quadtree import decode_plane_quadtree
+
+                return decode_plane_quadtree(unpack_quadtree(blob), dcfg)
+            return decode_plane(unpack_result(blob), dcfg)
 
         try:
             with open(args.decode_file, "rb") as f:
-                blob = f.read()
-            if blob[:4] == b"FTQ1":
-                res = unpack_quadtree(blob)
-                from .encode.quadtree import decode_plane_quadtree
-
-                out, iters, mse = decode_plane_quadtree(res, dcfg)
-            else:
-                res = unpack_result(blob)
-                out, iters, mse = decode_plane(res, dcfg)
+                data = f.read()
+            blobs = unpack_container(data) if is_container(data) else [data]
+            decoded = [_decode_blob(b) for b in blobs]
         except Exception as e:  # struct.error / ValueError / truncated file
             print(f"error: not a valid bitstream: {args.decode_file} ({e})",
                   file=sys.stderr)
             return 2
-        save_plane(np.asarray(out), args.result)
-        print(f"decoded {args.decode_file}: {int(iters)} steps, rms {float(mse):.6g}")
+        if len(decoded) == 3:
+            # YUV triple -> RGB (cf. main.cpp:192-200, ImageIO.cpp:86-97)
+            save_yuv(*(np.asarray(out) for out, _, _ in decoded), args.result)
+        else:
+            save_plane(np.asarray(decoded[0][0]), args.result)
+        for (_, iters, mse), blob in zip(decoded, blobs):
+            print(f"decoded {args.decode_file}: {int(iters)} steps, "
+                  f"rms {float(mse):.6g}")
         return 0
 
     if not args.input:
@@ -258,13 +266,17 @@ def main(argv=None) -> int:
     if args.out:
         from .codec import pack_result
         from .codec.bitstream_quadtree import pack_quadtree
+        from .codec.container import pack_container
 
         # mean-centred parameterization: o-quantization error stays ~1 gray
         # level instead of being amplified by s (see codec/bitstream.py)
         if args.quadtree:
-            blob = b"".join(pack_quadtree(r, plane=pl) for r, pl in results)
+            blobs = [pack_quadtree(r, plane=pl) for r, pl in results]
         else:
-            blob = b"".join(pack_result(r, plane=pl) for r, pl in results)
+            blobs = [pack_result(r, plane=pl) for r, pl in results]
+        # single-plane files stay bare (backwards compatible); color files
+        # get the FTCC container frame so the decoder can split the planes
+        blob = blobs[0] if len(blobs) == 1 else pack_container(blobs)
         with open(args.out, "wb") as f:
             f.write(blob)
         raw = y.size * (3 if args.color else 1)

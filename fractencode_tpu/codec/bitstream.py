@@ -70,9 +70,79 @@ def _bits_to_ints(bits: np.ndarray) -> np.ndarray:
 
 
 _FLAG_O_IS_MEAN = 1
+# round 4: entropy-coded payload (codec/entropy.py) — per-field canonical
+# Huffman streams instead of fixed-width packed items
+_FLAG_ENTROPY = 2
+# all items valid: the validity bitmask is omitted entirely
+_FLAG_ALL_VALID = 4
 # flags bits 4-7: num_transforms the search considered (0 = legacy -> 8);
 # lets the decoder build gather tables for only the searched isometries
 _NT_SHIFT = 4
+
+
+def _o_predict_deltas(o_q: np.ndarray, row_len: int) -> np.ndarray:
+    """Prediction residuals for o_q: row-above predictor when the items form
+    a [ny, row_len] grid (adjacent rows have similar brightness: measured
+    ~4.3 vs ~5.1 bits/item for the 1-D delta), else previous-item delta."""
+    o = o_q.astype(np.int64)
+    if row_len > 0 and len(o) % row_len == 0 and len(o) > row_len:
+        o2 = o.reshape(-1, row_len)
+        d = o2 - np.vstack([np.concatenate([[0], o2[0, :-1]]), o2[:-1]])
+        return d.reshape(-1)
+    return np.diff(o, prepend=0)
+
+
+def _o_reconstruct(deltas: np.ndarray, row_len: int) -> np.ndarray:
+    d = deltas.astype(np.int64)
+    if row_len > 0 and len(d) % row_len == 0 and len(d) > row_len:
+        d2 = d.reshape(-1, row_len).copy()
+        d2[0] = np.cumsum(d2[0])
+        return np.cumsum(d2, axis=0).reshape(-1)
+    return np.cumsum(d)
+
+
+def _entropy_pack_fields(dom, tr, s_q, o_q, valid, d_bits,
+                         row_len: int = 0) -> bytes:
+    """Per-field entropy streams: validity bitmask (raw bytes, framed),
+    domain byte planes (raw values — winners are spatially uncorrelated,
+    delta coding measurably hurts), transform, s_q, and zigzag prediction
+    residuals of o_q."""
+    from .entropy import encode_stream, zigzag
+
+    parts = []
+    if not valid.all():
+        parts.append(encode_stream(np.packbits(valid.astype(np.uint8))))
+    nb = (d_bits + 7) // 8
+    dom64 = dom.astype(np.uint64)
+    for j in range(nb):
+        parts.append(encode_stream(((dom64 >> (8 * j)) & 0xFF).astype(np.uint8)))
+    parts.append(encode_stream(tr.astype(np.uint8)))
+    parts.append(encode_stream(s_q.astype(np.uint8)))
+    od = zigzag(_o_predict_deltas(o_q, row_len))
+    parts.append(encode_stream(od.astype(np.uint8)))
+    return b"".join(parts)
+
+
+def _entropy_unpack_fields(data: bytes, offset: int, n: int, d_bits: int,
+                           all_valid: bool, row_len: int = 0):
+    from .entropy import decode_stream, unzigzag
+
+    if all_valid:
+        valid = np.ones(n, bool)
+    else:
+        vb, offset = decode_stream(data, offset)
+        valid = np.unpackbits(vb, count=n).astype(bool)
+    nb = (d_bits + 7) // 8
+    dom = np.zeros(n, np.uint64)
+    for j in range(nb):
+        plane, offset = decode_stream(data, offset)
+        dom |= plane.astype(np.uint64) << (8 * j)
+    tr, offset = decode_stream(data, offset)
+    s_q, offset = decode_stream(data, offset)
+    od, offset = decode_stream(data, offset)
+    o_q = _o_reconstruct(unzigzag(od.astype(np.uint32)), row_len)
+    return dom, tr.astype(np.uint32), s_q.astype(np.uint32), \
+        o_q.astype(np.uint32), valid, offset
 
 
 def pack_result(
@@ -80,8 +150,14 @@ def pack_result(
     s_bits: int = DEFAULT_S_BITS,
     o_bits: int = DEFAULT_O_BITS,
     plane=None,
+    entropy: bool = True,
 ) -> bytes:
     """Serialize an ``EncodeResult`` to the compressed byte stream.
+
+    ``entropy=True`` (default) entropy-codes the payload with per-field
+    canonical Huffman streams (``codec/entropy.py``) whenever that beats the
+    fixed-width packing; the header flag records which form was written and
+    the decoder auto-detects.
 
     If ``plane`` (the source image, [H, W] u8) is given, the stream stores
     the mean-centred parameterization: 'o' becomes each range block's target
@@ -142,12 +218,26 @@ def pack_result(
         )
         payload = np.packbits(bits.reshape(-1)).tobytes()
 
+    flags = (
+        (_FLAG_O_IS_MEAN if o_is_mean else 0)
+        | (getattr(result, "num_transforms", 8) << _NT_SHIFT)
+    )
+    # entropy-coded payload (zigzag o-delta needs o_bits <= 7, s in a byte);
+    # keep whichever representation is smaller — entropy never loses
+    if entropy and s_bits <= 8 and o_bits <= 7 and len(valid):
+        all_valid = bool(valid.all())
+        e_payload = _entropy_pack_fields(
+            dom, tr, s_q, o_q, valid, d_bits,
+            row_len=result.width // result.target_size)
+        if len(e_payload) < len(payload):
+            payload = e_payload
+            flags |= _FLAG_ENTROPY | (_FLAG_ALL_VALID if all_valid else 0)
+
     header = struct.pack(
         _HDR_FMT,
         _MAGIC,
         _VERSION,
-        (_FLAG_O_IS_MEAN if o_is_mean else 0)
-        | (getattr(result, "num_transforms", 8) << _NT_SHIFT),
+        flags,
         result.width,
         result.height,
         result.source_size,
@@ -183,25 +273,32 @@ def unpack_result(data: bytes):
 
     d_bits = _bit_width(num_domains)
     t_bits = 3
-    from .native import unpack_items_native
-
-    native = unpack_items_native(data[hdr_size:], num_ranges, d_bits, t_bits,
-                                 s_bits, o_bits)
-    if native is not None:
-        dom, tr, s_q, o_q, valid = native
+    if flags & _FLAG_ENTROPY:
+        dom, tr, s_q, o_q, valid, _ = _entropy_unpack_fields(
+            data, hdr_size, num_ranges, d_bits,
+            bool(flags & _FLAG_ALL_VALID),
+            row_len=width // target_size,
+        )
     else:
-        item_bits = 1 + d_bits + t_bits + s_bits + o_bits
-        total_bits = num_ranges * item_bits
-        bits = np.unpackbits(
-            np.frombuffer(data[hdr_size:], dtype=np.uint8), count=total_bits
-        ).reshape(num_ranges, item_bits)
+        from .native import unpack_items_native
 
-        pos = 0
-        valid = bits[:, 0].astype(bool); pos += 1
-        dom = _bits_to_ints(bits[:, pos : pos + d_bits]); pos += d_bits
-        tr = _bits_to_ints(bits[:, pos : pos + t_bits]); pos += t_bits
-        s_q = _bits_to_ints(bits[:, pos : pos + s_bits]); pos += s_bits
-        o_q = _bits_to_ints(bits[:, pos : pos + o_bits])
+        native = unpack_items_native(data[hdr_size:], num_ranges, d_bits,
+                                     t_bits, s_bits, o_bits)
+        if native is not None:
+            dom, tr, s_q, o_q, valid = native
+        else:
+            item_bits = 1 + d_bits + t_bits + s_bits + o_bits
+            total_bits = num_ranges * item_bits
+            bits = np.unpackbits(
+                np.frombuffer(data[hdr_size:], dtype=np.uint8), count=total_bits
+            ).reshape(num_ranges, item_bits)
+
+            pos = 0
+            valid = bits[:, 0].astype(bool); pos += 1
+            dom = _bits_to_ints(bits[:, pos : pos + d_bits]); pos += d_bits
+            tr = _bits_to_ints(bits[:, pos : pos + t_bits]); pos += t_bits
+            s_q = _bits_to_ints(bits[:, pos : pos + s_bits]); pos += s_bits
+            o_q = _bits_to_ints(bits[:, pos : pos + o_bits])
 
     s = dequantize(s_q, s_min, s_max, s_bits)
     o = dequantize(o_q, o_min, o_max, o_bits)

@@ -30,8 +30,12 @@ _MAGIC = b"FTQ1"
 # C++ packer (native/bitpack.cpp); the valid bit is constant 1 here (only
 # accepted blocks are stored) at a cost of 1 bit per leaf.
 # v3: adds a flags field (bit 0 = mean-centred o).
-_VERSION = 3
+# v4 (round 4): acceptance bitmaps are framed entropy streams
+# (codec/entropy.py) and per-level payloads may be per-field Huffman streams
+# (flags bit 1); v3 files remain readable.
+_VERSION = 4
 _FLAG_O_IS_MEAN = 1
+_FLAG_ENTROPY = 2
 _NT_SHIFT = 4  # flags bits 4-7: num_transforms (0 = legacy -> 8)
 # magic, version, flags, nlevels, width, height, sbits, obits
 _HDR_FMT = "<4sHHHIIHH"
@@ -39,18 +43,36 @@ _LVL_FMT = "<HHHIffff"  # range, domain, step, naccept, smin, smax, omin, omax
 
 
 def pack_quadtree(result, s_bits: int = DEFAULT_S_BITS,
-                  o_bits: int = DEFAULT_O_BITS, plane=None) -> bytes:
+                  o_bits: int = DEFAULT_O_BITS, plane=None,
+                  entropy: bool = True) -> bytes:
     """Serialize a ``QuadtreeResult``.  With ``plane`` (the source image),
     o is stored mean-centred (see module docstring) — measured >5 dB at the
-    default bit budget, same as the uniform stream."""
+    default bit budget, same as the uniform stream.  ``entropy=True``
+    Huffman-codes acceptance maps and per-field leaf streams
+    (``codec/entropy.py``) and keeps whichever whole-file form is smaller
+    (per-stream table overhead can beat the savings on small pyramids);
+    the header flag records which was written."""
+    if entropy:
+        e = _pack_quadtree_impl(result, s_bits, o_bits, plane, True)
+        r = _pack_quadtree_impl(result, s_bits, o_bits, plane, False)
+        return e if len(e) < len(r) else r
+    return _pack_quadtree_impl(result, s_bits, o_bits, plane, False)
+
+
+def _pack_quadtree_impl(result, s_bits, o_bits, plane, entropy):
     o_is_mean = plane is not None
     if o_is_mean:
         p = np.asarray(plane, dtype=np.float64)
         h, w = p.shape
+    entropy = entropy and s_bits <= 8 and o_bits <= 7
+    from .entropy import encode_stream, zigzag
+
     nt = getattr(result.levels[0], "num_transforms", 8) if result.levels else 8
     parts = [
         struct.pack(_HDR_FMT, _MAGIC, _VERSION,
-                    (_FLAG_O_IS_MEAN if o_is_mean else 0) | (nt << _NT_SHIFT),
+                    (_FLAG_O_IS_MEAN if o_is_mean else 0)
+                    | (_FLAG_ENTROPY if entropy else 0)
+                    | (nt << _NT_SHIFT),
                     len(result.levels),
                     result.width, result.height, s_bits, o_bits)
     ]
@@ -85,10 +107,22 @@ def pack_quadtree(result, s_bits: int = DEFAULT_S_BITS,
         parts.append(struct.pack(_LVL_FMT, lvl.range_size, lvl.domain_size,
                                  lvl.domain_step, len(sel),
                                  s_min, s_max, o_min, o_max))
-        parts.append(np.packbits(acc.astype(np.uint8)).tobytes())
+        acc_bytes = np.packbits(acc.astype(np.uint8))
+        if entropy:
+            # framed acceptance stream (fine-level maps are mostly zeros)
+            parts.append(encode_stream(acc_bytes))
+        else:
+            parts.append(acc_bytes.tobytes())
         if len(sel):
             s_q = quantize(s, s_min, s_max, s_bits)
             o_q = quantize(o, o_min, o_max, o_bits)
+            if entropy:
+                from .bitstream import _entropy_pack_fields
+
+                ones = np.ones(len(sel), bool)
+                parts.append(_entropy_pack_fields(dom, tr, s_q, o_q, ones,
+                                                  d_bits))
+                continue
             ones = np.ones(len(sel), np.uint8)
             from .native import pack_items_native
 
@@ -119,9 +153,11 @@ def unpack_quadtree(data: bytes):
     magic, version, flags, nlevels, width, height, s_bits, o_bits = (
         struct.unpack(_HDR_FMT, data[:off])
     )
-    if magic != _MAGIC or version != _VERSION:
+    if magic != _MAGIC or version not in (3, _VERSION):
         raise ValueError("bad quadtree bitstream header")
     o_is_mean = bool(flags & _FLAG_O_IS_MEAN)
+    use_entropy = version >= 4 and bool(flags & _FLAG_ENTROPY)
+    framed_acc = version >= 4 and use_entropy
     num_transforms = ((flags >> _NT_SHIFT) & 0xF) or 8
 
     levels = []
@@ -133,11 +169,18 @@ def unpack_quadtree(data: bytes):
         )
         off += lvl_size
         n_blocks = (width // range_size) * (height // range_size)
-        bm_bytes = -(-n_blocks // 8)
-        acc = np.unpackbits(
-            np.frombuffer(data[off : off + bm_bytes], np.uint8), count=n_blocks
-        ).astype(bool)
-        off += bm_bytes
+        if framed_acc:
+            from .entropy import decode_stream
+
+            acc_bytes, off = decode_stream(data, off)
+            acc = np.unpackbits(acc_bytes, count=n_blocks).astype(bool)
+        else:
+            bm_bytes = -(-n_blocks // 8)
+            acc = np.unpackbits(
+                np.frombuffer(data[off : off + bm_bytes], np.uint8),
+                count=n_blocks,
+            ).astype(bool)
+            off += bm_bytes
 
         nx = (width - domain_size) // domain_step + 1
         ny = (height - domain_size) // domain_step + 1
@@ -147,7 +190,12 @@ def unpack_quadtree(data: bytes):
         tr = np.zeros(n_blocks, np.int32)
         s = np.zeros(n_blocks, np.float32)
         o = np.zeros(n_blocks, np.float32)
-        if naccept:
+        if naccept and use_entropy:
+            from .bitstream import _entropy_unpack_fields
+
+            dom_v, tr_v, s_qv, o_qv, _, off = _entropy_unpack_fields(
+                data, off, naccept, d_bits, all_valid=True)
+        elif naccept:
             nbytes = -(-naccept * item_bits // 8)
             from .native import unpack_items_native
 
@@ -166,6 +214,7 @@ def unpack_quadtree(data: bytes):
                 s_qv = _bits_to_ints(bits[:, p : p + s_bits]); p += s_bits
                 o_qv = _bits_to_ints(bits[:, p : p + o_bits])
             off += nbytes
+        if naccept:
             s_v = dequantize(s_qv, s_min, s_max, s_bits)
             o_v = dequantize(o_qv, o_min, o_max, o_bits)
             sel = np.where(acc)[0]

@@ -1,0 +1,253 @@
+"""Static canonical-Huffman entropy layer for the bitstreams.
+
+The reference never serialized anything (``/root/reference/main.cpp:106-140``
+stops at bucket statistics); rounds 1-3 of this framework packed fixed-width
+fields.  This module supplies the rate half of rate-distortion: per-field
+byte streams (domain-index byte planes, transform, s_q, zigzag-delta o_q)
+each get a static canonical Huffman code built from the stream's own
+histogram.  Measured symbol entropies on the Lenna fixtures (see
+docs/PERF_NOTES.md round 4): transform ~2.0 bits, s_q ~3.6, delta-o_q ~5.1
+vs their 3/5/7-bit fixed widths; domain indices are near-incompressible
+(winners are spatially uncorrelated — delta coding *hurts*: H(delta) >
+H(raw)), so they stay raw-valued and only their byte planes get coded.
+
+Stream framing (little-endian):
+
+    u8 mode | u32 count
+    mode 0 (raw):     count bytes follow
+    mode 1 (huffman): u32 n_bits | 128B packed 4-bit code lengths | payload
+
+Mode 0 is chosen whenever the coded size would not beat raw (tiny streams,
+uniform histograms), so entropy coding never loses.  Code lengths are capped
+at 15 bits (JPEG-style adjustment) and the canonical reconstruction on the
+decode side depends only on the length table.
+
+The numpy implementation is the oracle; a C++ fast path for the
+symbol-serial decode loop lives in ``native/entropy.cpp`` (same pattern as
+``native/bitpack.cpp``).
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "encode_stream", "decode_stream", "zigzag", "unzigzag",
+    "huffman_lengths", "canonical_codes",
+]
+
+_MAX_LEN = 15
+
+
+def zigzag(d: np.ndarray) -> np.ndarray:
+    """Signed deltas -> small unsigned (0, -1, 1, -2, ... -> 0, 1, 2, 3)."""
+    d = d.astype(np.int64)
+    return np.where(d >= 0, 2 * d, -2 * d - 1).astype(np.uint32)
+
+
+def unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.int64)
+    return np.where(u & 1, -(u + 1) // 2, u // 2)
+
+
+def huffman_lengths(counts: np.ndarray, max_len: int = _MAX_LEN) -> np.ndarray:
+    """[256] symbol counts -> [256] u8 code lengths (0 = absent symbol).
+
+    Standard two-queue Huffman over the present symbols, then the JPEG
+    Annex K length-limiting adjustment when any code exceeds ``max_len``.
+    """
+    counts = np.asarray(counts, np.int64)
+    present = np.where(counts > 0)[0]
+    lengths = np.zeros(256, np.uint8)
+    if len(present) == 0:
+        return lengths
+    if len(present) == 1:
+        lengths[present[0]] = 1
+        return lengths
+
+    # Huffman via sorted merge (O(n log n) once, then two-queue O(n)).
+    order = present[np.argsort(counts[present], kind="stable")]
+    leaf_w = counts[order].tolist()
+    # nodes: (weight, [symbol indices under this node])
+    import collections
+
+    leaves = collections.deque((w, [s]) for w, s in zip(leaf_w, order.tolist()))
+    merged = collections.deque()
+    depth = np.zeros(256, np.int64)
+
+    def pop_min():
+        if not merged or (leaves and leaves[0][0] <= merged[0][0]):
+            return leaves.popleft()
+        return merged.popleft()
+
+    while len(leaves) + len(merged) > 1:
+        w1, s1 = pop_min()
+        w2, s2 = pop_min()
+        for s in s1:
+            depth[s] += 1
+        for s in s2:
+            depth[s] += 1
+        merged.append((w1 + w2, s1 + s2))
+
+    if depth.max() > max_len:
+        # JPEG-style: count codes per length, fold overlong codes down.
+        bl = np.bincount(depth[present], minlength=depth.max() + 1)
+        bl = bl.astype(np.int64)
+        i = len(bl) - 1
+        while i > max_len:
+            while bl[i] > 0:
+                j = i - 2
+                while bl[j] == 0:
+                    j -= 1
+                bl[i] -= 2
+                bl[i - 1] += 1
+                bl[j + 1] += 2
+                bl[j] -= 1
+            i -= 1
+        # reassign: longest-first over symbols sorted by ascending count
+        # (rarest symbols get the longest codes)
+        new_depth = np.zeros(256, np.int64)
+        syms = present[np.argsort(counts[present], kind="stable")]  # rare first
+        li = max_len
+        k = 0
+        for li in range(max_len, 0, -1):
+            for _ in range(int(bl[li]) if li < len(bl) else 0):
+                new_depth[syms[k]] = li
+                k += 1
+        depth = new_depth
+
+    lengths[present] = depth[present].astype(np.uint8)
+    return lengths
+
+
+def canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    """[256] lengths -> [256] u16 canonical codes (MSB-first semantics)."""
+    codes = np.zeros(256, np.uint16)
+    code = 0
+    for l in range(1, _MAX_LEN + 1):
+        for s in np.where(lengths == l)[0]:
+            codes[s] = code
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _pack_lengths(lengths: np.ndarray) -> bytes:
+    """[256] u8 lengths (<= 15) -> 128 packed bytes (two 4-bit nibbles)."""
+    hi = lengths[0::2].astype(np.uint8)
+    lo = lengths[1::2].astype(np.uint8)
+    return ((hi << 4) | lo).tobytes()
+
+
+def _unpack_lengths(blob: bytes) -> np.ndarray:
+    b = np.frombuffer(blob, np.uint8)
+    out = np.empty(256, np.uint8)
+    out[0::2] = b >> 4
+    out[1::2] = b & 0xF
+    return out
+
+
+def _encode_payload(data: np.ndarray, lengths: np.ndarray,
+                    codes: np.ndarray) -> tuple[bytes, int]:
+    """Vectorized variable-length bit packing: expand every code to its bit
+    rows ([N, 15] MSB-first), mask to the real lengths, compact, packbits."""
+    ls = lengths[data].astype(np.int32)  # [N]
+    cs = codes[data].astype(np.uint32)
+    j = np.arange(_MAX_LEN, dtype=np.int32)[None, :]
+    bits = (cs[:, None] >> np.maximum(ls[:, None] - 1 - j, 0)) & 1
+    mask = j < ls[:, None]
+    flat = bits[mask].astype(np.uint8)
+    return np.packbits(flat).tobytes(), int(flat.size)
+
+
+def encode_stream(data: np.ndarray) -> bytes:
+    """Byte stream -> framed (mode 0 raw / mode 1 huffman) blob."""
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(data)
+    raw = struct.pack("<BI", 0, n) + data.tobytes()
+    if n < 64:
+        return raw
+    counts = np.bincount(data, minlength=256)
+    lengths = huffman_lengths(counts)
+    codes = canonical_codes(lengths)
+    payload, n_bits = _encode_payload(data, lengths, codes)
+    coded = (struct.pack("<BII", 1, n, n_bits) + _pack_lengths(lengths)
+             + payload)
+    return coded if len(coded) < len(raw) else raw
+
+
+def _decode_tables(lengths: np.ndarray):
+    """first_code/first_index per length + symbol table, for canonical
+    decode: at length l, code c is valid iff c - first_code[l] <
+    count[l]; symbol = symbols[first_index[l] + c - first_code[l]]."""
+    counts = np.bincount(lengths[lengths > 0], minlength=_MAX_LEN + 1)
+    symbols = np.argsort(np.where(lengths > 0, lengths, 255), kind="stable")
+    symbols = symbols[: int((lengths > 0).sum())].astype(np.uint8)
+    first_code = np.zeros(_MAX_LEN + 2, np.int64)
+    first_index = np.zeros(_MAX_LEN + 2, np.int64)
+    code = 0
+    idx = 0
+    for l in range(1, _MAX_LEN + 1):
+        first_code[l] = code
+        first_index[l] = idx
+        code = (code + int(counts[l])) << 1
+        idx += int(counts[l])
+    return counts, symbols, first_code, first_index
+
+
+def _decode_payload_py(payload: bytes, n_bits: int, n_syms: int,
+                       lengths: np.ndarray) -> np.ndarray:
+    """Symbol-serial canonical decode (numpy/python oracle)."""
+    counts, symbols, first_code, first_index = _decode_tables(lengths)
+    bits = np.unpackbits(np.frombuffer(payload, np.uint8), count=n_bits)
+    out = np.empty(n_syms, np.uint8)
+    pos = 0
+    bl = bits.tolist()
+    cnt = counts.tolist()
+    fc = first_code.tolist()
+    fi = first_index.tolist()
+    sym = symbols.tolist()
+    for i in range(n_syms):
+        code = 0
+        l = 0
+        while True:
+            code = (code << 1) | bl[pos]
+            pos += 1
+            l += 1
+            off = code - fc[l]
+            if l <= _MAX_LEN and 0 <= off < cnt[l]:
+                out[i] = sym[fi[l] + off]
+                break
+            if l > _MAX_LEN:
+                raise ValueError("corrupt huffman payload")
+    return out
+
+
+def decode_stream(data: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Framed blob -> (byte array, next offset)."""
+    mode, n = struct.unpack_from("<BI", data, offset)
+    offset += 5
+    if mode == 0:
+        out = np.frombuffer(data[offset : offset + n], np.uint8)
+        if len(out) != n:
+            raise ValueError("truncated raw stream")
+        return out, offset + n
+    if mode != 1:
+        raise ValueError(f"unknown stream mode {mode}")
+    (n_bits,) = struct.unpack_from("<I", data, offset)
+    offset += 4
+    if len(data) < offset + 128:
+        raise ValueError("truncated huffman table")
+    lengths = _unpack_lengths(data[offset : offset + 128])
+    offset += 128
+    n_bytes = (n_bits + 7) // 8
+    payload = data[offset : offset + n_bytes]
+    if len(payload) != n_bytes:
+        raise ValueError("truncated huffman payload")
+    from .native import decode_huffman_native
+
+    out = decode_huffman_native(payload, n_bits, n, lengths)
+    if out is None:
+        out = _decode_payload_py(payload, n_bits, n, lengths)
+    return out, offset + n_bytes

@@ -14,7 +14,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["get_lib", "pack_items_native", "unpack_items_native"]
+__all__ = ["get_lib", "pack_items_native", "unpack_items_native",
+           "decode_huffman_native"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "bitpack.cpp")
@@ -65,6 +66,12 @@ def get_lib():
             ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
             u32p, u32p, u32p, u32p, u8p,
         ]
+        if hasattr(lib, "ftc_huffman_decode"):
+            lib.ftc_huffman_decode.restype = ctypes.c_int
+            lib.ftc_huffman_decode.argtypes = [
+                u8p, ctypes.c_size_t, ctypes.c_size_t, u8p, u8p,
+                ctypes.c_size_t,
+            ]
         _lib = lib
         return _lib
 
@@ -89,6 +96,26 @@ def pack_items_native(dom, tr, sq, oq, valid, d_bits, t_bits, s_bits, o_bits):
     )
     assert written == len(out), (written, len(out))
     return out.tobytes()
+
+
+def decode_huffman_native(payload: bytes, n_bits: int, n_syms: int,
+                          lengths) -> "np.ndarray | None":
+    """Canonical-Huffman symbol-serial decode (the host-bound hot loop of
+    ``codec.entropy.decode_stream``), or None if the native lib is
+    unavailable or predates the entropy entry point."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ftc_huffman_decode"):
+        return None
+    out = np.empty(n_syms, np.uint8)
+    rc = lib.ftc_huffman_decode(
+        np.frombuffer(payload, np.uint8).copy(), len(payload),
+        ctypes.c_size_t(n_bits),
+        np.ascontiguousarray(lengths, np.uint8),
+        out, ctypes.c_size_t(n_syms),
+    )
+    if rc != 0:
+        raise ValueError("corrupt huffman payload")
+    return out
 
 
 def unpack_items_native(data: bytes, n, d_bits, t_bits, s_bits, o_bits):

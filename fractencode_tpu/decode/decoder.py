@@ -27,7 +27,7 @@ from ..core.transform import NUM_TRANSFORMS
 from ..encode.encoder import EncodeResult
 from ..params import DecoderConfig
 
-__all__ = ["decode_plane", "decode_steps_py"]
+__all__ = ["decode_plane", "decode_batch_stacked", "decode_steps_py"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -172,7 +172,15 @@ def half_res_image(img_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def _half_sums_u16(img_u8: jnp.ndarray) -> jnp.ndarray:
-    """[H/2, W/2] u16 2x2 box SUMS (4x the half image, <= 1020, exact)."""
+    """[H/2, W/2] u16 2x2 box SUMS (4x the half image, <= 1020, exact).
+
+    u8-only contract: the uint16 cast silently truncates fractional or
+    negative values, so reject non-integer iterates loudly (decode state is
+    always u8; an f32 iterate must go through ``half_res_image`` instead).
+    """
+    assert jnp.issubdtype(img_u8.dtype, jnp.integer), (
+        f"_half_sums_u16 requires an integer (u8) plane, got {img_u8.dtype}"
+    )
     return jax.lax.reduce_window(
         img_u8.astype(jnp.uint16), np.uint16(0), jax.lax.add,
         (2, 2), (2, 2), "VALID",
@@ -271,13 +279,9 @@ def _mean_init_image(result: EncodeResult, dcfg: DecoderConfig):
     return jnp.repeat(jnp.repeat(img, ts, axis=0), ts, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("dcfg",))
-def decode_plane(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig()):
-    """Decode to a fixed point. Returns (plane u8 [H, W], iterations, mse).
-
-    ``iterations`` follows the reference's count (loop index at exit:
-    ``Encoder2.hpp:76-88``).
-    """
+def _decode_core(result: EncodeResult, dcfg: DecoderConfig):
+    """Traceable decode loop shared by ``decode_plane`` (jitted single
+    plane) and ``decode_batch_stacked`` (lax.map over frames)."""
     h, w = result.height, result.width
     idx = _build_indices(result)
     s = jnp.where(result.valid, result.s, 0.0)
@@ -329,6 +333,42 @@ def decode_plane(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig()):
     )
     iterations = jnp.where(done, steps - 1, steps)
     return img, iterations, mse
+
+
+@functools.partial(jax.jit, static_argnames=("dcfg",))
+def decode_plane(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig()):
+    """Decode to a fixed point. Returns (plane u8 [H, W], iterations, mse).
+
+    ``iterations`` follows the reference's count (loop index at exit:
+    ``Encoder2.hpp:76-88``).
+    """
+    return _decode_core(result, dcfg)
+
+
+@functools.partial(jax.jit, static_argnames=("dcfg",))
+def decode_batch_stacked(result: EncodeResult,
+                         dcfg: DecoderConfig = DecoderConfig()):
+    """Decode a stacked batch (arrays carry a leading [B] axis, as produced
+    by ``encode_batch_stacked``) in ONE device program.
+
+    The single-chip decode lane of BASELINE config 5 (the consumer loop of
+    ``Encoder2.hpp:67-89`` at rate): frames stream through the fixed-point
+    loop sequentially via ``lax.map`` — one dispatch for the whole batch,
+    the per-dispatch floor amortizes across B frames, and only one frame's
+    pool is live at a time.  Returns ([B, H, W] u8, [B] iterations, [B] mse).
+    """
+    import dataclasses
+
+    def one(arrs):
+        dom, tr, s, o, valid = arrs
+        r1 = dataclasses.replace(
+            result, domain_idx=dom, transform=tr, s=s, o=o,
+            distance=jnp.zeros_like(s), valid=valid,
+        )
+        return _decode_core(r1, dcfg)
+
+    return jax.lax.map(one, (result.domain_idx, result.transform,
+                             result.s, result.o, result.valid))
 
 
 def decode_steps_py(result: EncodeResult, dcfg: DecoderConfig = DecoderConfig(),

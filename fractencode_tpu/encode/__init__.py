@@ -12,5 +12,7 @@ __all__ = [
     "solve_so",
     "EncodeResult",
     "encode_plane",
+    "encode_batch",
+    "encode_batch_stacked",
     "encode_stats",
 ]

@@ -251,23 +251,31 @@ def _class_layout(classes01: jnp.ndarray, block: int,
 
 
 def _classed_statics(r: int, m: int, cfg: EncoderConfig,
-                     masked_domains: bool = False):
+                     masked_domains: bool = False,
+                     masked_ranges: bool = False):
     """Static (python-int) layout parameters shared by prep/kernel/post.
 
     ``masked_domains`` reserves one extra column bin for classifier-valid but
     geometry-masked domain columns (sharded tail padding / off-image rows):
     bin 7 holds them, no range tile ever points at it.
+
+    ``masked_ranges`` reserves one extra ROW bin for ranges excluded from
+    the search (quadtree blocks already covered by an accepted coarser
+    level): their tiles pair with the empty column bin, so they cost zero
+    kernel compute steps (the partition-level analog of the reference's
+    early-exit FLOP saving, ``TransformEstimator2.hpp:40-41``).
     """
     from ..ops.matcher_pallas import DEFAULT_BM, DEFAULT_BR, PAIR_CAP
 
     n_col_bins = _NUM_CLASS_BINS + (1 if masked_domains else 0)
+    n_row_bins = _NUM_CLASS_BINS + (1 if masked_ranges else 0)
     block_r = min(DEFAULT_BR, _round_up(r, 8))
     block_m = min(DEFAULT_BM, _round_up(m, 128))
-    r_pad = _round_up(r, block_r) + _NUM_CLASS_BINS * block_r
+    r_pad = _round_up(r, block_r) + n_row_bins * block_r
     m_pad = _round_up(m, block_m) + n_col_bins * block_m
     # the packed pair list stores the col-tile index in _CT_BITS bits
-    # (ops.matcher_pallas._pack_pairs); 8K+ configs must fail loudly here
-    # instead of silently corrupting packed pairs
+    # (ops.matcher_pallas._pack_pairs); configs past ~32K images must fail
+    # loudly here instead of silently corrupting packed pairs
     from ..ops.matcher_pallas import _CT_BITS
 
     assert m_pad // block_m < (1 << _CT_BITS), (
@@ -281,7 +289,8 @@ def _classed_statics(r: int, m: int, cfg: EncoderConfig,
 
 
 def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
-                 domain_classes, cfg: EncoderConfig, domain_mask=None):
+                 domain_classes, cfg: EncoderConfig, domain_mask=None,
+                 range_mask=None):
     """Class-sorted layout + active-pair list (pure jnp, vmappable): every
     array the classed kernel consumes, plus the inverse maps post needs.
 
@@ -289,6 +298,13 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     (sharded tail padding, off-image halo rows).  Their columns are parked in
     the reserved bin ``_NUM_CLASS_BINS`` which no range tile ever visits, so
     they cost zero kernel steps and can never win.
+
+    ``range_mask`` ([R] bool or None): False marks ranges excluded from the
+    search (quadtree coverage masking).  They are parked in a reserved ROW
+    bin whose tiles pair with the zero-count column bin — zero compute
+    pairs, so fine quadtree levels only pay for uncovered blocks.  Searched
+    ranges' winners are bit-identical to the unmasked search: each range's
+    scores are row-independent and the column layout is unchanged.
     """
     from ..ops.matcher_pallas import _pack_pairs, rank_mode
 
@@ -296,14 +312,18 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     d, t, _ = cb.values.shape
     m = d * t
     masked = domain_mask is not None
+    r_masked = range_mask is not None
     n_col_bins = _NUM_CLASS_BINS + (1 if masked else 0)
+    n_row_bins = _NUM_CLASS_BINS + (1 if r_masked else 0)
     block_r, block_m, r_pad, m_pad, worst_pairs, p_cap = _classed_statics(
-        r, m, cfg, masked_domains=masked)
+        r, m, cfg, masked_domains=masked, masked_ranges=r_masked)
 
     rcls01 = (range_classes + 1).astype(jnp.int32)  # bins -1..5 -> 0..6
     dcls01 = (domain_classes + 1).astype(jnp.int32)
     if masked:
         dcls01 = jnp.where(domain_mask, dcls01, _NUM_CLASS_BINS)
+    if r_masked:
+        rcls01 = jnp.where(range_mask, rcls01, _NUM_CLASS_BINS)
 
     # search-order columns: m = d*T + (T-1-t)
     cb_cols = cb.values[:, ::-1, :].reshape(m, k)
@@ -315,7 +335,7 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
         else sb2
     )
 
-    rpos, _, _, r_tile_cum = _class_layout(rcls01, block_r)
+    rpos, _, _, r_tile_cum = _class_layout(rcls01, block_r, n_row_bins)
 
     # Column layout at DOMAIN granularity when block_m % T == 0: all T
     # isometries of a domain share its class and occupy T consecutive
@@ -447,11 +467,12 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     nrt = r_pad // block_r
     tile_ids = jnp.arange(nrt, dtype=jnp.int32)
     tile_class = jnp.searchsorted(r_tile_cum, tile_ids, side="right").astype(jnp.int32)
-    if masked:
-        # padding range tiles must index the appended empty bin, not the
-        # masked-domain bin (which holds real columns in the masked layout)
-        tile_class = jnp.where(tile_class == _NUM_CLASS_BINS, n_col_bins,
-                               tile_class)
+    # Park non-class row tiles (padding, and masked ranges when range_mask
+    # is set) at the zero-count column bin: n_col_bins is the appended empty
+    # entry of col_tile_count (and, in the masked-domain layout, sits past
+    # the real masked-domain bin those tiles must never visit).
+    tile_class = jnp.where(tile_class >= _NUM_CLASS_BINS, n_col_bins,
+                           tile_class)
 
     col_tile_start = c_seg_start // block_m  # [n_col_bins+1]
     col_tile_count = -(-c_counts // block_m)  # [n_col_bins+1] ceil
@@ -614,6 +635,12 @@ def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
     win_d = win_m // t
     win_t = (t - 1) - (win_m % t)
 
+    # the derived-sums shortcut is only exactly f32-renderable for K <= 16:
+    # at K = 64, 16*SumB2 can reach 64 * 1020^2 ~ 6.7e7 > 2^24, so the
+    # i32 -> f32 cast rounds and can differ by an ULP from the f32-summed
+    # cb.sum_sq the other backends read — route K > 16 through the sbb gather
+    if b4_cols is not None and k > 16:
+        b4_cols = None
     if b4_cols is not None:
         b4_win = b4_cols[win_m].astype(jnp.int32)  # [R, k]
         # SumAB = (sum_k A*4B) / 4 — exact i32 (<= 2^24), exact f32 render
@@ -655,6 +682,25 @@ def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
     )
 
 
+def mask_ranges_result(res: SearchResult, range_mask: jnp.ndarray
+                       ) -> SearchResult:
+    """Canonical fields for ranges excluded by ``range_mask`` (False = out):
+    every backend returns the same bits for masked-out entries so results
+    stay comparable regardless of whether the backend skipped the compute
+    (classed kernel) or post-masked a full search (oracle, dense kernel)."""
+    z32 = jnp.zeros((), jnp.int32)
+    zf = jnp.zeros((), jnp.float32)
+    return SearchResult(
+        domain_idx=jnp.where(range_mask, res.domain_idx, z32),
+        transform=jnp.where(range_mask, res.transform, z32),
+        distance=jnp.where(range_mask, res.distance, _BIG),
+        s=jnp.where(range_mask, res.s, zf),
+        o=jnp.where(range_mask, res.o, zf),
+        valid=res.valid & range_mask,
+        key=None if res.key is None else jnp.where(range_mask, res.key, -_BIG),
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def search_pallas_classed(
     ranges: jnp.ndarray,
@@ -666,6 +712,7 @@ def search_pallas_classed(
     cfg: EncoderConfig,
     domain_mask: jnp.ndarray | None = None,
     interpret: bool = False,
+    range_mask: jnp.ndarray | None = None,
 ) -> SearchResult:
     """Class-blocked Pallas backend: the classifier's equality prune becomes
     a real FLOP reduction.  Ranges and codebook columns are laid out sorted
@@ -684,17 +731,22 @@ def search_pallas_classed(
     d, t, _ = cb.values.shape
     m = d * t
     block_r, block_m, _, _, worst_pairs, p_cap = _classed_statics(
-        r, m, cfg, masked_domains=domain_mask is not None)
+        r, m, cfg, masked_domains=domain_mask is not None,
+        masked_ranges=range_mask is not None)
 
     prep = classed_prep(ranges, sum_a, sum_a2, cb, range_classes,
-                        domain_classes, cfg, domain_mask=domain_mask)
+                        domain_classes, cfg, domain_mask=domain_mask,
+                        range_mask=range_mask)
     dist_s, idx_s, q_s = classed_kernel(
         prep, k, cb.grid.block_size ** 2, block_r, block_m, p_cap,
         worst_pairs, cfg, interpret, t_n=t,
     )
-    return classed_post(dist_s, idx_s, q_s, prep["rpos"], prep["inv_col"],
-                        ranges, sum_a, sum_a2, cb, cfg,
-                        b4_cols=prep["b4_cols"])
+    res = classed_post(dist_s, idx_s, q_s, prep["rpos"], prep["inv_col"],
+                       ranges, sum_a, sum_a2, cb, cfg,
+                       b4_cols=prep["b4_cols"])
+    if range_mask is not None:
+        res = mask_ranges_result(res, range_mask)
+    return res
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -815,12 +867,17 @@ def search(
     domain_classes: jnp.ndarray | None,
     cfg: EncoderConfig,
     domain_mask: jnp.ndarray | None = None,
+    range_mask: jnp.ndarray | None = None,
 ) -> SearchResult:
     """Best (domain, transform, s, o) per range block.
 
     ranges [R, K] f32; sum_a/sum_a2 [R] f32; classes i32 or None.
     Scans in chunks of ``cfg.range_chunk`` ranges to bound the [RC, D, T]
     intermediate (the Pallas backend fuses this loop on-chip instead).
+
+    ``range_mask``: the oracle computes the full search and post-masks
+    (``mask_ranges_result``); only the classed Pallas backend turns the mask
+    into a real FLOP cut.  Searched entries are identical either way.
     """
     r, k = ranges.shape
     d, t, _ = cb.values.shape
@@ -875,7 +932,7 @@ def search(
     # TransformEstimator2.hpp:30 default + DecodeUtils.hpp:22-23).
     s = jnp.where(valid, s, 0.0)
     o = jnp.where(valid, o, 0.0)
-    return SearchResult(
+    res = SearchResult(
         domain_idx=unpad(win_d),
         transform=unpad(win_t),
         distance=unpad(best),
@@ -884,3 +941,6 @@ def search(
         valid=valid,
         key=unpad(q),
     )
+    if range_mask is not None:
+        res = mask_ranges_result(res, range_mask)
+    return res

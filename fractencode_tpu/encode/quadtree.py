@@ -52,6 +52,10 @@ class QuadtreeConfig:
     error_threshold: float = 50.0  # accept level if per-pixel MSE <= this
     domain_ratio: int = 4  # domain = ratio * range per level
     lattice: int = 2  # domain step = domain_size // lattice
+    # skip searching blocks already covered by an accepted coarser leaf
+    # (bit-identical accepted leaves; False = search every level fully,
+    # kept for A/B parity testing)
+    mask_covered: bool = True
 
     def __post_init__(self):
         if self.min_size > self.max_size:
@@ -123,8 +127,9 @@ def _per_pixel_error(res, k: int, criterion: str, domain_area: int):
 )
 def _encode_level(plane, plane_f32, cfg: EncoderConfig, range_size: int,
                   domain_size: int, domain_step: int, backend: str,
-                  interpret: bool):
+                  interpret: bool, range_mask=None):
     from ..core.stats import block_sums_nonoverlapping
+    from .matcher import mask_ranges_result
 
     h, w = plane.shape
     domain_grid = uniform_grid(w, h, domain_size, domain_step)
@@ -147,14 +152,21 @@ def _encode_level(plane, plane_f32, cfg: EncoderConfig, range_size: int,
         dcls = rcls = None
     if backend == "pallas":
         if cfg.use_classifier and rcls is not None:
-            # class-blocked pair-list kernel: the prune is a real FLOP cut
+            # class-blocked pair-list kernel: the classifier prune AND the
+            # coverage mask (ranges under accepted coarser blocks) are real
+            # FLOP cuts — masked range tiles emit zero compute pairs
             res = search_pallas_classed(ranges, sum_a, sum_a2, cb, rcls, dcls,
-                                        cfg, interpret=interpret)
+                                        cfg, interpret=interpret,
+                                        range_mask=range_mask)
         else:
+            # dense kernel has no pair list to shrink: post-mask only
             res = search_pallas(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
                                 interpret=interpret)
+            if range_mask is not None:
+                res = mask_ranges_result(res, range_mask)
     else:
-        res = search(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg)
+        res = search(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
+                     range_mask=range_mask)
     err = _per_pixel_error(res, range_size * range_size, cfg.criterion,
                            domain_size * domain_size)
     err = jnp.where(res.valid, err, jnp.inf)
@@ -184,8 +196,16 @@ def _encode_quadtree_impl(plane, cfg: EncoderConfig, qcfg: QuadtreeConfig,
         step = ds // qcfg.lattice
         lcfg = dataclasses.replace(cfg, source_size=ds, target_size=rs,
                                    lattice=qcfg.lattice)
+        # coverage masking: blocks under an accepted coarser leaf are parked
+        # in the empty class bin, so this level's kernel only searches
+        # uncovered blocks (at 1024^2 the finest level is 65536 of 86016
+        # ranges; typical thresholds cover most of them at 8-16 px)
+        range_mask = (
+            None if (covered is None or not qcfg.mask_covered)
+            else ~covered.reshape(-1)
+        )
         res, err = _encode_level(plane, plane_f32, lcfg, rs, ds, step,
-                                 backend, interpret)
+                                 backend, interpret, range_mask=range_mask)
         ny, nx = h // rs, w // rs
         err2d = err.reshape(ny, nx)
         if covered is None:
@@ -220,6 +240,18 @@ def _encode_quadtree_impl(plane, cfg: EncoderConfig, qcfg: QuadtreeConfig,
     return levels
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "qcfg", "backend",
+                                             "interpret"))
+def _encode_quadtree_fused(plane, cfg: EncoderConfig, qcfg: QuadtreeConfig,
+                           backend: str, interpret: bool):
+    """The whole pyramid (every level + the selection cascade) as ONE device
+    program: one dispatch instead of one per level plus a handful of eager
+    mask ops — on remote-attached devices each of those is a full RTT
+    (measured at 1024^2: the 3-dispatch pyramid spent more wall time on
+    dispatch than on the masked fine-level search it saved)."""
+    return _encode_quadtree_impl(plane, cfg, qcfg, backend, interpret)
+
+
 def encode_plane_quadtree(plane, cfg: EncoderConfig | None = None,
                           qcfg: QuadtreeConfig | None = None,
                           reporter=None) -> QuadtreeResult:
@@ -234,8 +266,15 @@ def encode_plane_quadtree(plane, cfg: EncoderConfig | None = None,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     interpret = jax.default_backend() != "tpu"
-    levels = _encode_quadtree_impl(plane, cfg, qcfg, backend, interpret,
-                                   reporter=reporter)
+    if reporter is None and not interpret:
+        # one-dispatch pyramid on real TPU (remote XLA:TPU compile handles
+        # the large fused program; XLA:CPU sporadically overflows its
+        # compile-pass stack on it, so CPU keeps per-level programs)
+        levels = _encode_quadtree_fused(plane, cfg, qcfg, backend, interpret)
+    else:
+        # per-level dispatch (and real progress boundaries for the reporter)
+        levels = _encode_quadtree_impl(plane, cfg, qcfg, backend, interpret,
+                                       reporter=reporter)
     return QuadtreeResult(levels=levels, width=w, height=h)
 
 

@@ -489,7 +489,8 @@ def _int8_operands(ranges_f32, cb_f32):
 # i32 per pair in SMEM via scalar prefetch (768KB measured safe on v5e).
 PAIR_CAP = 196608
 
-_CT_BITS = 10  # col-tile index field (m_pad/block_m < 1024 up to ~8K images)
+_CT_BITS = 12  # col-tile index field (m_pad/block_m < 4096: covers 8K-image
+# defaults at BM=4096; rt keeps 32-2-12=18 bits, ample for range tiles)
 _RT_SHIFT = 2 + _CT_BITS
 
 

@@ -88,4 +88,50 @@ void ftc_unpack_items(size_t n, const uint8_t* in,
     }
 }
 
+// Canonical-Huffman symbol-serial decode (the entropy layer's host-bound
+// loop; table layout must match codec/entropy.py::_decode_tables).
+// Returns 0 on success, nonzero on a corrupt payload.
+int ftc_huffman_decode(const uint8_t* payload, size_t n_payload,
+                       size_t n_bits, const uint8_t* lengths,
+                       uint8_t* out, size_t n_syms) {
+    int counts[16] = {0};
+    for (int s = 0; s < 256; ++s) {
+        if (lengths[s] > 15) return 2;
+        if (lengths[s]) counts[lengths[s]]++;
+    }
+    uint8_t symbols[256];
+    int k = 0;
+    for (int l = 1; l <= 15; ++l)
+        for (int s = 0; s < 256; ++s)
+            if (lengths[s] == l) symbols[k++] = static_cast<uint8_t>(s);
+    int first_code[17];
+    int first_index[17];
+    int code = 0, idx = 0;
+    for (int l = 1; l <= 15; ++l) {
+        first_code[l] = code;
+        first_index[l] = idx;
+        code = (code + counts[l]) << 1;
+        idx += counts[l];
+    }
+    if (n_bits > n_payload * 8) return 3;
+    size_t pos = 0;
+    for (size_t i = 0; i < n_syms; ++i) {
+        int c = 0, l = 0;
+        for (;;) {
+            if (pos >= n_bits) return 1;
+            const int bit = (payload[pos >> 3] >> (7u - (pos & 7u))) & 1;
+            ++pos;
+            c = (c << 1) | bit;
+            ++l;
+            if (l > 15) return 1;
+            const int off = c - first_code[l];
+            if (off >= 0 && off < counts[l]) {
+                out[i] = symbols[first_index[l] + off];
+                break;
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -12,6 +12,17 @@ import os
 # wins over both the env var and any sitecustomize registration.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# XLA:CPU compile passes recurse deeply on large fused programs (the batch /
+# fused quadtree pyramids); the default 8 MB main-thread stack overflows
+# sporadically (observed: SIGSEGV/SIGABRT inside backend_compile_and_load at
+# ~40% of the suite).  The hard limit is unlimited here, so raise the soft
+# limit before any compile runs.
+import resource
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _hard == resource.RLIM_INFINITY or _hard >= 512 << 20:
+    resource.setrlimit(resource.RLIMIT_STACK, (512 << 20, _hard))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -21,6 +32,22 @@ import numpy as np
 import pytest
 
 LENNA_PATH = "/root/reference/tests/input/lenna512x512.png"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    One pytest process compiles hundreds of XLA:CPU programs; past a point
+    the accumulated JIT state makes further compiles abort the process
+    (observed as ``Fatal Python error: Aborted`` inside
+    ``backend_compile_and_load`` at ~40% of the suite, position varying run
+    to run — a resource limit, not any single test).  Dropping the caches at
+    module boundaries keeps intra-module cache sharing (where nearly all
+    reuse is) while bounding per-process JIT accumulation.
+    """
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

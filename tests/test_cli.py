@@ -97,6 +97,53 @@ def test_color_flag_end_to_end(small_png, tmp_path, capsys):
     assert img.shape == (64, 64, 3)
 
 
+@pytest.fixture()
+def center_png(tmp_path, lenna_y):
+    """Center crop: the corner crop's flat-texture content decodes poorly
+    under unclamped |s| (reference semantics), which would mask real codec
+    bugs behind a weak PSNR bound."""
+    path = tmp_path / "center.png"
+    Image.fromarray(np.asarray(lenna_y)[224:288, 224:288], mode="L").save(path)
+    return str(path)
+
+
+def test_color_bitstream_file_roundtrip(center_png, tmp_path, capsys):
+    """--color --out -> --decode-file must reconstruct an RGB image from all
+    three planes (cf. main.cpp:192-200, ImageIO.cpp:86-97); rounds 1-3 wrote
+    bare concatenated streams and silently decoded only the Y plane."""
+    rc = _run([center_png, "--color", "--result", str(tmp_path / "rgb.png"),
+               "--out", str(tmp_path / "c3.ftc")], tmp_path)
+    assert rc == 0
+    capsys.readouterr()
+    blob = (tmp_path / "c3.ftc").read_bytes()
+    assert blob[:4] == b"FTCC"
+
+    rc = _run(["--decode-file", str(tmp_path / "c3.ftc"),
+               "--result", str(tmp_path / "cdec.png")], tmp_path)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("decoded") == 3
+    dec = np.asarray(Image.open(tmp_path / "cdec.png")).astype(np.float64)
+    assert dec.shape == (64, 64, 3)
+    src = np.asarray(Image.open(center_png).convert("RGB")).astype(np.float64)
+    mse = ((dec - src) ** 2).mean()
+    psnr = 10.0 * np.log10(255.0**2 / max(mse, 1e-9))
+    assert psnr > 25.0, f"color file round-trip PSNR {psnr:.2f} dB"
+
+
+def test_color_container_truncated_fails_loudly(small_png, tmp_path, capsys):
+    rc = _run([small_png, "--color", "--result", str(tmp_path / "rgb.png"),
+               "--out", str(tmp_path / "c3.ftc")], tmp_path)
+    assert rc == 0
+    capsys.readouterr()
+    blob = (tmp_path / "c3.ftc").read_bytes()
+    (tmp_path / "trunc.ftc").write_bytes(blob[: len(blob) - 7])
+    rc = _run(["--decode-file", str(tmp_path / "trunc.ftc"),
+               "--result", str(tmp_path / "t.png")], tmp_path)
+    assert rc == 2
+    assert "not a valid bitstream" in capsys.readouterr().err
+
+
 def test_rejection_stats_histogram(small_png, tmp_path, capsys):
     """The CLI's rejection count must equal the brute-force [R, D] count
     (computed here on a small image; the CLI path must be O(R + D))."""

@@ -72,3 +72,118 @@ def test_bitstream_size(rng):
     assert len(blob) < 1024 * 4 + 64
     # compression vs raw 8bpp
     assert len(blob) < 128 * 128
+
+def test_container_roundtrip_and_validation():
+    from fractencode_tpu.codec.container import (
+        is_container,
+        pack_container,
+        unpack_container,
+    )
+
+    planes = [b"FTC1" + bytes(range(50)), b"FTC1" + bytes(20), b"FTQ1" + bytes(7)]
+    blob = pack_container(planes)
+    assert is_container(blob)
+    assert unpack_container(blob) == planes
+    one = pack_container(planes[:1])
+    assert unpack_container(one) == planes[:1]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_container(planes[:2])  # only 1 or 3 planes
+    with pytest.raises(ValueError, match="length table"):
+        unpack_container(blob[:-3])  # truncated payload
+    with pytest.raises(ValueError, match="length table"):
+        unpack_container(blob + b"x")  # trailing garbage
+    with pytest.raises(ValueError):
+        unpack_container(b"FTCC\x01\x00")  # truncated before plane count
+    with pytest.raises(ValueError, match="not a container"):
+        unpack_container(b"NOPE" + bytes(20))
+
+
+def test_entropy_stream_fuzz(rng):
+    """Canonical-Huffman stream round trip across distribution shapes; the
+    native C++ decoder (when built) and the numpy oracle must agree."""
+    from fractencode_tpu.codec.entropy import (
+        _decode_payload_py,
+        decode_stream,
+        encode_stream,
+    )
+
+    cases = [
+        np.array([], np.uint8),
+        np.full(500, 9, np.uint8),
+        rng.integers(0, 256, 4000).astype(np.uint8),
+        rng.choice(8, 20000, p=[.5, .2, .1, .08, .05, .04, .02, .01]).astype(np.uint8),
+        np.clip(rng.normal(128, 2, 50000), 0, 255).astype(np.uint8),
+    ]
+    import struct
+
+    from fractencode_tpu.codec.entropy import _unpack_lengths
+
+    for c in cases:
+        blob = encode_stream(c)
+        out, off = decode_stream(blob)
+        assert off == len(blob)
+        np.testing.assert_array_equal(out, c)
+        if blob[0] == 1:  # huffman mode: numpy oracle must agree too
+            n, n_bits = struct.unpack_from("<II", blob, 1)
+            lengths = _unpack_lengths(blob[9 : 9 + 128])
+            oracle = _decode_payload_py(blob[9 + 128 :], n_bits, n, lengths)
+            np.testing.assert_array_equal(oracle, c)
+    for _ in range(20):
+        n = int(rng.integers(0, 2000))
+        c = rng.integers(0, int(rng.integers(1, 257)), n).astype(np.uint8)
+        out, _ = decode_stream(encode_stream(c))
+        np.testing.assert_array_equal(out, c)
+
+
+def test_entropy_truncation_fails_loudly(rng):
+    from fractencode_tpu.codec.entropy import decode_stream, encode_stream
+
+    c = np.clip(rng.normal(100, 20, 5000), 0, 255).astype(np.uint8)
+    blob = encode_stream(c)
+    assert blob[0] == 1  # huffman mode engaged
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_stream(blob[: len(blob) // 2])
+
+
+def test_bitstream_entropy_identical_decode(lenna_y):
+    """Entropy-coded FTC1 payload: smaller file, bit-identical fields and
+    decode (the rate axis of the north star at unchanged PSNR)."""
+    img = np.asarray(lenna_y)[128:256, 128:256]
+    res = encode_plane(img, EncoderConfig())
+    raw = pack_result(res, plane=img, entropy=False)
+    ent = pack_result(res, plane=img)
+    assert len(ent) < len(raw), (len(ent), len(raw))
+    r0, r1 = unpack_result(raw), unpack_result(ent)
+    for f in ("domain_idx", "transform", "s", "o", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r0, f)), np.asarray(getattr(r1, f)))
+    out0, _, _ = decode_plane(r0)
+    out1, _, _ = decode_plane(r1)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+
+
+def test_quadtree_bitstream_entropy_identical(lenna_y):
+    from fractencode_tpu.codec.bitstream_quadtree import (
+        pack_quadtree,
+        unpack_quadtree,
+    )
+    from fractencode_tpu.encode.quadtree import (
+        QuadtreeConfig,
+        encode_plane_quadtree,
+    )
+
+    img = np.asarray(lenna_y)[128:256, 128:256]
+    qres = encode_plane_quadtree(img, EncoderConfig(), QuadtreeConfig())
+    raw = pack_quadtree(qres, plane=img, entropy=False)
+    ent = pack_quadtree(qres, plane=img)
+    assert len(ent) <= len(raw)
+    r0, r1 = unpack_quadtree(raw), unpack_quadtree(ent)
+    for l0, l1 in zip(r0.levels, r1.levels):
+        for f in ("domain_idx", "transform", "s", "o", "accepted"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(l0, f)), np.asarray(getattr(l1, f)))

@@ -246,17 +246,24 @@ def test_threshold_frontier_matches_oracle(rng, threshold, use_classifier):
         )
 
 
-def test_classed_statics_8k_overflow_guard():
-    """8K+ images overflow the pair list's 10-bit col-tile field: the layout
-    must fail loudly (matcher_pallas._pack_pairs) instead of silently
-    corrupting packed pairs."""
+def test_classed_statics_8k_fits_and_guard_still_fires():
+    """The pair list's 12-bit col-tile field must cover 8K and 16K defaults
+    (round-4 ceiling lift); sizes past the field width must still fail
+    loudly (matcher_pallas._pack_pairs) instead of silently corrupting
+    packed pairs."""
     from fractencode_tpu.encode.matcher import _classed_statics
+    from fractencode_tpu.ops.matcher_pallas import _CT_BITS, _RT_SHIFT
 
     cfg = EncoderConfig()
-    # 4096^2 still fits
-    d4 = ((4096 - 16) // 8 + 1) ** 2
-    _classed_statics((4096 // 4) ** 2, d4 * 4, cfg)
-    # 8192^2 must raise
-    d8 = ((8192 - 16) // 8 + 1) ** 2
+    for side in (4096, 8192):
+        d = ((side - 16) // 8 + 1) ** 2
+        block_r, block_m, r_pad, m_pad, _, _ = _classed_statics(
+            (side // 4) ** 2, d * 4, cfg
+        )
+        # the packed i32 must stay positive: rt occupies the top bits
+        assert (r_pad // block_r) < (1 << (31 - _RT_SHIFT))
+    # 16K overflows the 12-bit col-tile field and must raise
+    side = 16384
+    d = ((side - 16) // 8 + 1) ** 2
     with pytest.raises(AssertionError, match="pair-list field"):
-        _classed_statics((8192 // 4) ** 2, d8 * 4, cfg)
+        _classed_statics((side // 4) ** 2, d * 4, cfg)

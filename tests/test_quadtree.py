@@ -245,3 +245,47 @@ def test_sharded_quadtree_decode_matches_single(rng):
         single, it_s, mse_s = decode_plane_quadtree(results[i])
         np.testing.assert_array_equal(np.asarray(outs[i]), np.asarray(single))
         assert int(iters[i]) == int(it_s), (int(iters[i]), int(it_s))
+
+
+def test_coverage_mask_leaves_bit_identical(lenna_y):
+    """Round-4 coverage-masked search: fine levels skip blocks under an
+    accepted coarser leaf (the partition-level analog of the reference's
+    early-exit FLOP cut, TransformEstimator2.hpp:40-41).  Accepted leaves —
+    selection masks AND every stored field of accepted entries — must be
+    bit-identical to the full per-level search, on the jnp oracle and on the
+    pallas (interpret) classed kernel."""
+    import dataclasses
+
+    img = np.asarray(lenna_y)[128:256, 128:256]
+    qcfg_on = QuadtreeConfig(min_size=4, max_size=16, error_threshold=50.0)
+    qcfg_off = dataclasses.replace(qcfg_on, mask_covered=False)
+    for backend in ("jnp", "pallas"):
+        cfg = EncoderConfig(backend=backend)
+        r_on = encode_plane_quadtree(img, cfg, qcfg_on)
+        r_off = encode_plane_quadtree(img, cfg, qcfg_off)
+        assert r_on.num_leaves == r_off.num_leaves
+        # masking must actually engage: some coarse block accepted
+        assert int(np.asarray(r_on.levels[0].accepted).sum()) > 0, "vacuous"
+        for lon, loff in zip(r_on.levels, r_off.levels):
+            acc_on = np.asarray(lon.accepted)
+            np.testing.assert_array_equal(acc_on, np.asarray(loff.accepted),
+                                          err_msg=f"{backend} accepted mask")
+            for f in ("domain_idx", "transform", "s", "o"):
+                a = np.asarray(getattr(lon, f))[acc_on]
+                b = np.asarray(getattr(loff, f))[acc_on]
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"{backend} {lon.range_size}px {f}")
+
+
+def test_coverage_mask_oracle_vs_pallas(lenna_y):
+    """Masked classed kernel == masked oracle on every searched range
+    (the kernel skips masked tiles; the oracle post-masks a full search)."""
+    img = np.asarray(lenna_y)[128:192, 128:192]
+    qcfg = QuadtreeConfig(min_size=4, max_size=16, error_threshold=50.0)
+    r_j = encode_plane_quadtree(img, EncoderConfig(backend="jnp"), qcfg)
+    r_p = encode_plane_quadtree(img, EncoderConfig(backend="pallas"), qcfg)
+    for lj, lp in zip(r_j.levels, r_p.levels):
+        for f in ("domain_idx", "transform", "s", "o", "accepted"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(lj, f)), np.asarray(getattr(lp, f)),
+                err_msg=f"{lp.range_size}px {f}")

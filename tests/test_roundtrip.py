@@ -164,3 +164,46 @@ def test_encode_batch_stacked_matches_list(rng):
     out_a, it_a, _ = decode_plane(frame0, DecoderConfig(max_iterations=8))
     out_b, it_b, _ = decode_plane(frames[0], DecoderConfig(max_iterations=8))
     assert np.array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_decode_batch_stacked_matches_single(lenna_y):
+    """Stacked batch decode (one device program) must match per-frame
+    decode_plane exactly — same fixed-point pixels, iterations, mse."""
+    import jax.numpy as jnp
+
+    from fractencode_tpu.decode import decode_batch_stacked
+    from fractencode_tpu.encode import encode_batch_stacked
+
+    img = np.asarray(lenna_y)[128:192, 128:192]
+    imgs = np.stack([img, img[::-1, ::-1].copy()])
+    cfg = EncoderConfig()
+    stacked = encode_batch_stacked(jnp.asarray(imgs), cfg)
+    outs, iters, mses = decode_batch_stacked(stacked)
+    import jax
+
+    for i in range(2):
+        res1 = jax.tree_util.tree_map(lambda a, i=i: a[i], stacked)
+        out1, it1, mse1 = decode_plane(res1)
+        np.testing.assert_array_equal(np.asarray(outs[i]), np.asarray(out1))
+        assert int(iters[i]) == int(it1)
+        assert float(mses[i]) == float(mse1)
+
+
+def test_mean_init_decode_quality(lenna_y):
+    """Block-mean initialization: same-or-better PSNR than the flat-100
+    start within 0.2 dB, and no more iterations (it starts near the fixed
+    point; the final limit cycle may differ by +-1-gray pixels — documented
+    PSNR-neutral, see DecoderConfig.initial)."""
+    from fractencode_tpu.params import DecoderConfig
+
+    img = np.asarray(lenna_y)[128:256, 128:256]
+    res = encode_plane(img, EncoderConfig())
+    out_f, it_f, _ = decode_plane(res, DecoderConfig())
+    out_m, it_m, _ = decode_plane(res, DecoderConfig(initial="means"))
+
+    def _psnr(out):
+        mse = ((np.asarray(out).astype(np.float64) - img) ** 2).mean()
+        return 10.0 * np.log10(255.0**2 / max(mse, 1e-9))
+
+    assert _psnr(out_m) > _psnr(out_f) - 0.2, (_psnr(out_m), _psnr(out_f))
+    assert int(it_m) <= int(it_f), (int(it_m), int(it_f))
