@@ -12,6 +12,7 @@ native/_bitpack.so: native/bitpack.cpp
 	g++ -O2 -shared -fPIC -std=c++17 -o $@ $<
 
 test:
+	python scripts/check_docs.py
 	python -m pytest tests/ -q
 
 bench:

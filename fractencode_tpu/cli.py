@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compat", action="store_true",
                    help="bit-parity with the C++ reference (raw + reference + 4)")
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
+    p.add_argument("--vq-classes", type=int, default=0, metavar="N",
+                   help="replace the brightness classifier with an N-bin "
+                        "learned LBG codebook prune (1..7; 0 = off) — the "
+                        "reference's CodebookGenerator, finally wired in")
     p.add_argument("--out", help="write compressed bitstream to this path")
     p.add_argument("--decode-file", help="decode a .ftc bitstream instead of encoding")
     p.add_argument("--result", default="result.png", help="decoded output image path")
@@ -72,7 +76,8 @@ def _config_from_args(args):
     )
     if args.compat:
         return REFERENCE_COMPAT(**{k: v for k, v in kw.items() if k != "num_transforms"})
-    return EncoderConfig(criterion=args.criterion, so_mode=args.so_mode, **kw)
+    return EncoderConfig(criterion=args.criterion, so_mode=args.so_mode,
+                         vq_classes=args.vq_classes, **kw)
 
 
 def _encode_one_quadtree(plane, args, cfg, dcfg, label="", timer=None):
@@ -130,9 +135,10 @@ def _encode_one(plane, args, cfg, dcfg, label="", timer=None):
     t1 = time.perf_counter()
     print(f"encoded{label} in {t1 - t0:.4g} s.")
     print(f"{res.num_ranges} elements.")
-    if cfg.use_classifier:
+    if cfg.use_classifier and cfg.vq_classes == 0:
         # classifier rejection statistics (cf. encode_stats_t::print,
         # Encoder2.hpp:21-23) — O(R + D) via class histograms
+        # (brightness bins only; VQ bins are device-side)
         from .core.classify import classify_grid
         from .encode.encoder import encode_stats
 

@@ -83,6 +83,31 @@ class EncodeResult:
         return ox, oy
 
 
+def _normalize_affine(v: jnp.ndarray) -> jnp.ndarray:
+    """Remove the components the search's affine map absorbs: zero-mean,
+    ~unit-variance rows (variance floor 1 keeps flat blocks at ~0)."""
+    mu = v.mean(axis=-1, keepdims=True)
+    c = v - mu
+    return c * jax.lax.rsqrt((c * c).mean(axis=-1, keepdims=True) + 1.0)
+
+
+def _vq_classes(ranges: jnp.ndarray, cb, cfg: EncoderConfig):
+    """(range_classes, domain_classes) from a learned LBG codebook, in the
+    classifier's value convention (the downstream layout shifts by +1, so
+    codeword ids 0..N-1 are returned as -1..N-2 -> bins 0..N-1)."""
+    from .vq import assign_codes, train_codebook
+
+    dvec = _normalize_affine(cb.values[:, 0, :])  # identity-isometry domains
+    rvec = _normalize_affine(ranges)
+    key = jax.random.PRNGKey(cfg.vq_seed)
+    d = dvec.shape[0]
+    limit = cfg.vq_sample_limit if cfg.vq_sample_limit < d else None
+    codebook, dcls, _ = train_codebook(
+        dvec, key, cfg.vq_classes, sample_limit=limit)
+    rcls = assign_codes(rvec, codebook)
+    return (rcls - 1).astype(jnp.int32), (dcls - 1).astype(jnp.int32)
+
+
 def _encode_plane_impl(plane: jnp.ndarray, cfg: EncoderConfig) -> EncodeResult:
     from ..core.stats import block_sums_nonoverlapping
 
@@ -105,13 +130,26 @@ def _encode_plane_impl(plane: jnp.ndarray, cfg: EncoderConfig) -> EncodeResult:
     sum_a = ranges.sum(axis=-1)
     sum_a2 = (ranges * ranges).sum(axis=-1)
 
-    if cfg.use_classifier:
+    if cfg.vq_classes > 0:
+        # learned pruning: LBG codeword id as the class bin (the purpose
+        # the reference built CodebookGenerator for and never wired,
+        # CodebookGenerator.hpp:84-162).  Trained on contrast/brightness-
+        # normalized vectors so codeword equality approximates SHAPE
+        # similarity — the search's affine map absorbs (s, o), so raw-pixel
+        # clusters would prune exactly the matches the search can fix up.
+        range_classes, domain_classes = _vq_classes(ranges, cb, cfg)
+    elif cfg.use_classifier:
         ii = integral_image(plane)
         domain_classes = classify_grid(plane, domain_grid, ii=ii, sums2x2=sums2x2)
         range_classes = classify_grid(plane, range_grid, ii=ii, sums2x2=sums2x2)
     else:
         domain_classes = None
         range_classes = None
+
+    # the search layers branch on use_classifier: force it on when VQ bins
+    # stand in for the brightness bins
+    cfg_s = (dataclasses.replace(cfg, use_classifier=True)
+             if cfg.vq_classes > 0 else cfg)
 
     backend = cfg.backend
     if backend == "auto":
@@ -122,19 +160,20 @@ def _encode_plane_impl(plane: jnp.ndarray, cfg: EncoderConfig) -> EncodeResult:
         # is a prefix mask + per-row freeze in the running argmax (see
         # ops.matcher_pallas._apply_frontier).
         interpret = jax.default_backend() != "tpu"
-        if cfg.use_classifier and range_classes is not None:
+        if cfg_s.use_classifier and range_classes is not None:
             # class-blocked kernel: the prune becomes a real FLOP saving
             res = search_pallas_classed(
-                ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg,
-                interpret=interpret,
+                ranges, sum_a, sum_a2, cb, range_classes, domain_classes,
+                cfg_s, interpret=interpret,
             )
         else:
             res = search_pallas(
-                ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg,
-                interpret=interpret,
+                ranges, sum_a, sum_a2, cb, range_classes, domain_classes,
+                cfg_s, interpret=interpret,
             )
     else:
-        res = search(ranges, sum_a, sum_a2, cb, range_classes, domain_classes, cfg)
+        res = search(ranges, sum_a, sum_a2, cb, range_classes, domain_classes,
+                     cfg_s)
     return EncodeResult(
         domain_idx=res.domain_idx,
         transform=res.transform,

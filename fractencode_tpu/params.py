@@ -44,6 +44,17 @@ class EncoderConfig:
     criterion: str = "affine"  # 'affine' | 'raw'
     so_mode: str = "ls"  # 'ls' | 'reference'
 
+    # Learned pruning: train an LBG codebook (encode/vq.py — the component
+    # the reference built for exactly this and never wired,
+    # CodebookGenerator.hpp:84-162) over contrast/brightness-normalized
+    # domain vectors and use the codeword id as the class bin through the
+    # SAME classed layout/kernels as the brightness classifier.
+    # 0 = off (use the brightness classifier per use_classifier);
+    # 1..7 = replace it with that many learned bins (1 ~= noclassifier).
+    vq_classes: int = 0
+    vq_sample_limit: int = 65536  # LimitRange-style training subsample
+    vq_seed: int = 0  # deterministic seeding
+
     # Execution
     range_chunk: int = 2048  # ranges scored per scan step (memory knob)
     backend: str = "auto"  # 'auto' | 'jnp' | 'pallas'
@@ -62,6 +73,9 @@ class EncoderConfig:
             raise ValueError(f"bad so_mode {self.so_mode}")
         if not 1 <= self.num_transforms <= 8:
             raise ValueError("num_transforms must be in 1..8")
+        if not 0 <= self.vq_classes <= 7:
+            raise ValueError("vq_classes must be 0 (off) or 1..7 (the classed "
+                             "kernel layout carries 7 class bins)")
 
     @property
     def domain_step(self) -> int:
