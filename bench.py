@@ -133,13 +133,14 @@ def main():
     # quadtree throughput lane: the fused pyramid's device time is ~8 ms
     # at 1024^2 — the single-shot number above is dominated by this box's
     # per-dispatch tunnel floor, so also report the 8-frame batched form
-    # (one dispatch) as per-frame time
-    from fractencode_tpu.encode.quadtree import encode_batch_quadtree
+    # (one dispatch, stacked results, one probe pull) as per-frame time
+    from fractencode_tpu.encode.quadtree import encode_batch_quadtree_stacked
 
     pq8 = jnp.asarray(np.stack([np.asarray(p1024)] * 8))
     jnp.add(pq8, 0).block_until_ready()
-    probe_qb = lambda rs: np.asarray(rs[-1].levels[-1].domain_idx)
-    dt = time_encode(lambda: encode_batch_quadtree(pq8, cfg, qcfg), probe_qb)
+    probe_qb = lambda r: np.asarray(r.levels[-1].domain_idx[-1])
+    dt = time_encode(
+        lambda: encode_batch_quadtree_stacked(pq8, cfg, qcfg), probe_qb)
     emit("encode_1024px_quadtree_batch8_ms_per_frame", dt * 1e3 / 8, "ms")
     del pq8
 

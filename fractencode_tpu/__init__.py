@@ -8,8 +8,9 @@ decoder is an on-device fixed-point loop, and multi-chip scaling uses
 ``jax.sharding`` meshes instead of thread pools.
 """
 from .params import EncoderConfig, DecoderConfig, REFERENCE_COMPAT
-from .encode import EncodeResult, encode_plane
-from .decode import decode_plane
+from .encode import (EncodeResult, encode_plane, encode_batch,
+                     encode_batch_stacked)
+from .decode import decode_plane, decode_batch_stacked
 
 __version__ = "0.1.0"
 
@@ -19,6 +20,9 @@ __all__ = [
     "REFERENCE_COMPAT",
     "EncodeResult",
     "encode_plane",
+    "encode_batch",
+    "encode_batch_stacked",
     "decode_plane",
+    "decode_batch_stacked",
     "__version__",
 ]

@@ -41,7 +41,8 @@ from .codebook import build_codebook, extract_ranges
 from .matcher import search, search_pallas, search_pallas_classed
 
 __all__ = ["QuadtreeConfig", "QuadtreeResult", "encode_plane_quadtree",
-           "encode_batch_quadtree", "encode_batch_quadtree_sharded",
+           "encode_batch_quadtree", "encode_batch_quadtree_stacked",
+           "encode_batch_quadtree_sharded",
            "decode_plane_quadtree", "decode_batch_quadtree_sharded"]
 
 
@@ -316,10 +317,16 @@ def _encode_batch_quadtree_impl(planes, cfg: EncoderConfig,
     return jax.lax.map(one, planes)
 
 
-def encode_batch_quadtree(planes, cfg: EncoderConfig | None = None,
-                          qcfg: QuadtreeConfig | None = None
-                          ) -> list[QuadtreeResult]:
-    """Quadtree-encode a [B, H, W] u8 batch in one device program."""
+def encode_batch_quadtree_stacked(planes, cfg: EncoderConfig | None = None,
+                                  qcfg: QuadtreeConfig | None = None
+                                  ) -> QuadtreeResult:
+    """Quadtree-encode a [B, H, W] u8 batch in one device program and return
+    ONE ``QuadtreeResult`` whose level arrays carry a leading batch axis.
+
+    The zero-dispatch form ``encode_batch_quadtree`` slices: per-frame
+    slicing is ``6 * levels * B`` tiny device ops — pure host-API overhead
+    (~µs locally, but each is a full RTT on remote-attached devices:
+    measured ~370 ms of the 8-frame batch wall on the tunnel)."""
     cfg = cfg or EncoderConfig()
     qcfg = qcfg or QuadtreeConfig()
     planes = jnp.asarray(planes, jnp.uint8)
@@ -331,11 +338,31 @@ def encode_batch_quadtree(planes, cfg: EncoderConfig | None = None,
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     interpret = jax.default_backend() != "tpu"
     tuples = _encode_batch_quadtree_impl(planes, cfg, qcfg, backend, interpret)
+    return QuadtreeResult(
+        levels=_levels_from_tuples(tuples, qcfg.level_sizes, qcfg, None,
+                                   cfg.num_transforms),
+        width=w, height=h,
+    )
+
+
+def encode_batch_quadtree(planes, cfg: EncoderConfig | None = None,
+                          qcfg: QuadtreeConfig | None = None
+                          ) -> list[QuadtreeResult]:
+    """Quadtree-encode a [B, H, W] u8 batch in one device program."""
+    stacked = encode_batch_quadtree_stacked(planes, cfg, qcfg)
+    b = stacked.levels[0].domain_idx.shape[0]
     return [
         QuadtreeResult(
-            levels=_levels_from_tuples(tuples, qcfg.level_sizes, qcfg, i,
-                                       cfg.num_transforms),
-            width=w, height=h,
+            levels=[
+                dataclasses.replace(
+                    l,
+                    domain_idx=l.domain_idx[i], transform=l.transform[i],
+                    s=l.s[i], o=l.o[i], error=l.error[i],
+                    accepted=l.accepted[i],
+                )
+                for l in stacked.levels
+            ],
+            width=stacked.width, height=stacked.height,
         )
         for i in range(b)
     ]
