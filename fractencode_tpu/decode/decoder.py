@@ -311,11 +311,12 @@ def _decode_core(result: EncodeResult, dcfg: DecoderConfig):
         # comparing with the iterate from two steps back and stop — either
         # cycle state is a valid fixed-point rendering.
         cycle = jnp.all(nxt == prev)
-        # longer-period cycles never repeat two steps apart; they show up as
-        # the MSE orbiting a floor instead.  A genuine contraction keeps
-        # setting new minima, so "no new minimum for stall_window steps"
-        # only fires once the orbit is periodic (see DecoderConfig).
-        improved = mse < best
+        # longer/chaotic cycles never repeat two steps apart; they show up
+        # as the MSE flickering at a floor instead.  A genuine contraction
+        # shrinks the MSE by a material relative margin each step; orbit
+        # noise produces sub-percent "new minima" which must NOT reset the
+        # patience (see DecoderConfig.stall_rtol).
+        improved = mse < best * (1.0 - dcfg.stall_rtol)
         since = jnp.where(improved, 0, since + 1)
         best = jnp.minimum(best, mse)
         stalled = (

@@ -483,7 +483,7 @@ def _decode_quadtree_loop(levels, h: int, w: int, dcfg: DecoderConfig):
         mse = jnp.sum(d * d) / (h * w)
         # period-2 + stall-window cycle exits; see decode.decoder.decode_plane
         cycle = jnp.all(nxt == prev)
-        improved = mse < best
+        improved = mse < best * (1.0 - dcfg.stall_rtol)
         since = jnp.where(improved, 0, since + 1)
         best = jnp.minimum(best, mse)
         stalled = (

@@ -650,10 +650,11 @@ def encode_plane_sharded_image(plane, cfg: EncoderConfig, mesh: Mesh,
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "max_iterations", "epsilon",
-                                             "initial_value", "stall_window"))
+                                             "initial_value", "stall_window",
+                                             "stall_rtol"))
 def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
                        max_iterations: int, epsilon: float, initial_value: int,
-                       stall_window: int):
+                       stall_window: int, stall_rtol: float = 0.02):
     from ..decode.decoder import _build_indices, _decode_step
 
     h, w = template.height, template.width
@@ -695,7 +696,7 @@ def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
                 # exits a longer-period orbit on a different phase than the
                 # single-device decode (+-1 pixel flips).
                 cycle = jnp.all(nxt == prev)
-                improved = mse < best
+                improved = mse < best * (1.0 - stall_rtol)
                 since = jnp.where(improved, 0, since + 1)
                 best = jnp.minimum(best, mse)
                 stalled = (
@@ -730,7 +731,8 @@ def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
 
 def decode_batch_sharded(results: list[EncodeResult], mesh: Mesh,
                          max_iterations: int = 300, epsilon: float = 1e-5,
-                         initial_value: int = 100, stall_window: int = 24):
+                         initial_value: int = 100, stall_window: int = 8,
+                         stall_rtol: float = 0.02):
     """Decode a batch of encodes data-parallel across the mesh.
 
     Returns ([B, H, W] u8 images, [B] iterations, [B] final mse).
@@ -748,4 +750,5 @@ def decode_batch_sharded(results: list[EncodeResult], mesh: Mesh,
         epsilon,
         initial_value,
         stall_window,
+        stall_rtol,
     )

@@ -87,13 +87,21 @@ class DecoderConfig:
     max_iterations: int = 300  # Encoder2.hpp:62
     epsilon: float = 1e-5  # inter-iterate MSE stop (main.cpp:34)
     initial_value: int = 100  # flat start image (Encoder2.hpp:69)
-    # Stop when the inter-iterate MSE has not reached a new minimum for this
-    # many steps: u8 truncation traps the iteration in small limit cycles
-    # (period 2 is caught exactly; longer periods orbit at a constant MSE
-    # floor until max_iterations — the reference would spin too,
-    # Encoder2.hpp:76-87).  Any cycle state is a valid fixed-point rendering;
+    # Stop when the inter-iterate MSE has not MATERIALLY improved (by a
+    # stall_rtol relative margin over the best seen) for this many steps:
+    # u8 truncation traps the iteration in limit cycles (period 2 is caught
+    # exactly; longer/chaotic orbits flicker at a constant MSE floor until
+    # max_iterations — measured: quantized 256^2 streams never exactly
+    # repeat within 60 steps, so only a patience exit fires; the reference
+    # would spin to 300, Encoder2.hpp:76-87).  A genuine contraction shrinks
+    # the MSE by large factors per step, while orbit-phase noise produces
+    # sub-percent "new minima" — the relative margin stops those from
+    # resetting the patience, which lets the window be short (round 4: 24
+    # absolute-improvement steps -> 8 material-improvement steps; decoded
+    # PSNR unchanged to ~0.01 dB, any orbit state is a valid rendering).
     # 0 disables the heuristic (strict reference iteration count).
-    stall_window: int = 24
+    stall_window: int = 8
+    stall_rtol: float = 0.02
     # "flat": start from the flat initial_value image (reference semantics,
     # Encoder2.hpp:68-70).  "means": solve the block-mean fixed point first
     # (a tiny [R]-sized contraction — each range's decoded mean is
