@@ -130,16 +130,16 @@ def _entropy_unpack_fields(data: bytes, offset: int, n: int, d_bits: int,
     if all_valid:
         valid = np.ones(n, bool)
     else:
-        vb, offset = decode_stream(data, offset)
+        vb, offset = decode_stream(data, offset, expect_count=(n + 7) // 8)
         valid = np.unpackbits(vb, count=n).astype(bool)
     nb = (d_bits + 7) // 8
     dom = np.zeros(n, np.uint64)
     for j in range(nb):
-        plane, offset = decode_stream(data, offset)
+        plane, offset = decode_stream(data, offset, expect_count=n)
         dom |= plane.astype(np.uint64) << (8 * j)
-    tr, offset = decode_stream(data, offset)
-    s_q, offset = decode_stream(data, offset)
-    od, offset = decode_stream(data, offset)
+    tr, offset = decode_stream(data, offset, expect_count=n)
+    s_q, offset = decode_stream(data, offset, expect_count=n)
+    od, offset = decode_stream(data, offset, expect_count=n)
     o_q = _o_reconstruct(unzigzag(od.astype(np.uint32)), row_len)
     return dom, tr.astype(np.uint32), s_q.astype(np.uint32), \
         o_q.astype(np.uint32), valid, offset

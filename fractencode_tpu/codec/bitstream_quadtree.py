@@ -172,7 +172,8 @@ def unpack_quadtree(data: bytes):
         if framed_acc:
             from .entropy import decode_stream
 
-            acc_bytes, off = decode_stream(data, off)
+            acc_bytes, off = decode_stream(data, off,
+                                           expect_count=(n_blocks + 7) // 8)
             acc = np.unpackbits(acc_bytes, count=n_blocks).astype(bool)
         else:
             bm_bytes = -(-n_blocks // 8)

@@ -212,6 +212,8 @@ def _decode_payload_py(payload: bytes, n_bits: int, n_syms: int,
         code = 0
         l = 0
         while True:
+            if pos >= n_bits:
+                raise ValueError("corrupt huffman payload (bits exhausted)")
             code = (code << 1) | bl[pos]
             pos += 1
             l += 1
@@ -224,10 +226,20 @@ def _decode_payload_py(payload: bytes, n_bits: int, n_syms: int,
     return out
 
 
-def decode_stream(data: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
-    """Framed blob -> (byte array, next offset)."""
+def decode_stream(data: bytes, offset: int = 0,
+                  expect_count: int | None = None) -> tuple[np.ndarray, int]:
+    """Framed blob -> (byte array, next offset).
+
+    ``expect_count``: when the caller knows the stream's length from its own
+    header (field streams do), a corrupted count field fails loudly here
+    instead of producing mis-shaped arrays downstream.
+    """
+    if len(data) < offset + 5:
+        raise ValueError("truncated stream header")
     mode, n = struct.unpack_from("<BI", data, offset)
     offset += 5
+    if expect_count is not None and n != expect_count:
+        raise ValueError(f"stream count {n} != expected {expect_count}")
     if mode == 0:
         out = np.frombuffer(data[offset : offset + n], np.uint8)
         if len(out) != n:
@@ -235,8 +247,12 @@ def decode_stream(data: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
         return out, offset + n
     if mode != 1:
         raise ValueError(f"unknown stream mode {mode}")
+    if len(data) < offset + 4:
+        raise ValueError("truncated stream header")
     (n_bits,) = struct.unpack_from("<I", data, offset)
     offset += 4
+    if n > n_bits:  # every huffman symbol costs >= 1 bit: corrupt count
+        raise ValueError(f"stream count {n} exceeds bit budget {n_bits}")
     if len(data) < offset + 128:
         raise ValueError("truncated huffman table")
     lengths = _unpack_lengths(data[offset : offset + 128])

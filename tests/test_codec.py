@@ -187,3 +187,47 @@ def test_quadtree_bitstream_entropy_identical(lenna_y):
         for f in ("domain_idx", "transform", "s", "o", "accepted"):
             np.testing.assert_array_equal(
                 np.asarray(getattr(l0, f)), np.asarray(getattr(l1, f)))
+
+
+def test_bitstream_corruption_fuzz(lenna_y, rng):
+    """Corruptions of an entropy-coded stream must either raise ValueError
+    (loud failure) or decode to a well-shaped result — never crash, hang,
+    or allocate absurd arrays (a corrupted stream count field must not
+    become np.empty(4e9))."""
+    import struct
+
+    from fractencode_tpu.codec.bitstream import _FLAG_ENTROPY, _HDR_FMT
+
+    img = np.asarray(lenna_y)[128:256, 128:256]
+    res = encode_plane(img, EncoderConfig())
+    blob = bytearray(pack_result(res, plane=img))
+    flags = struct.unpack(_HDR_FMT, bytes(blob[: struct.calcsize(_HDR_FMT)]))[2]
+    assert flags & _FLAG_ENTROPY, "fixture must exercise the entropy payload"
+    n = res.num_ranges
+    hdr = struct.calcsize(_HDR_FMT)
+
+    def try_decode(b):
+        try:
+            r = unpack_result(bytes(b))
+            assert r.domain_idx.shape == (n,)
+            return "ok"
+        except (ValueError, AssertionError, IndexError, struct.error):
+            return "rejected"
+
+    # a corrupted stream count field fails loudly (first stream's count
+    # starts right after the header: u8 mode | u32 count)
+    evil = bytearray(blob)
+    struct.pack_into("<I", evil, hdr + 1, 0xFFFFFFFF)
+    assert try_decode(evil) == "rejected"
+    # truncations at every region fail loudly
+    for cut in (hdr - 4, hdr + 3, len(blob) // 2, len(blob) - 3):
+        assert try_decode(blob[:cut]) == "rejected"
+    # random payload flips: either outcome, but never a crash/mis-shape
+    outcomes = set()
+    for _ in range(80):
+        pos = int(rng.integers(hdr, len(blob)))
+        old = blob[pos]
+        blob[pos] = old ^ int(rng.integers(1, 256))
+        outcomes.add(try_decode(blob))
+        blob[pos] = old
+    assert outcomes <= {"ok", "rejected"} and "rejected" in outcomes
