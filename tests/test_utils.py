@@ -37,3 +37,18 @@ def test_phase_timer():
         pass
     assert t.phases["a"] >= 0.01
     assert "a:" in t.report() and "total:" in t.report()
+
+def test_doc_bench_tables_in_sync():
+    """README/BASELINE/PERF_NOTES perf tables are generated from the driver
+    JSON each doc names in its marker; drift fails here (round-3 verdict
+    flagged hand-maintained numbers drifting every round)."""
+    import subprocess
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "check_docs.py")],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr or r.stdout
