@@ -105,7 +105,8 @@ def main(argv):
     if len(argv) > 1:
         src = argv[1]
     else:
-        benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+        benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")),
+                         key=os.path.getmtime)
         if not benches:
             print("no BENCH_r*.json found", file=sys.stderr)
             return 1
