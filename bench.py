@@ -36,6 +36,12 @@ import time
 import numpy as np
 
 BASELINE_CPP_SECONDS_512 = 7.545  # /tmp measurement, see BASELINE.md
+# config 1 anchor (round 5): the patched reference on the 256^2 crop with
+# --source 16 --target 8 --noclassifier, min of 3 runs on the same 2-core
+# box.  The reference searches only 4 isometries (transformmatcher.h:41-46)
+# while this lane searches all 8, so vs_baseline UNDERSTATES the speedup by
+# ~2x.  See BASELINE.md.
+BASELINE_CPP_SECONDS_256_FULL = 2.836
 LENNA = "/root/reference/tests/input/lenna512x512.png"
 
 
@@ -118,7 +124,8 @@ def main():
     cfg1 = EncoderConfig(source_size=16, target_size=8, num_transforms=8,
                          use_classifier=False)
     dt = time_encode(lambda: encode_plane(p256, cfg1), probe_plane)
-    emit("encode_256px_full8_ms", dt * 1e3, "ms")
+    emit("encode_256px_full8_ms", dt * 1e3, "ms",
+         (BASELINE_CPP_SECONDS_256_FULL * 1e3) / (dt * 1e3))
 
     # --- config 3: 1024^2 quadtree (range 4..16)
     p1024 = stage(tile_to(plane, 1024))
@@ -150,13 +157,20 @@ def main():
     dt = time_encode(lambda: encode_plane(p2048, cfg), probe_plane)
     emit("encode_2048px_ms", dt * 1e3, "ms")
 
-    # --- decode tracking (regressions were invisible before round 3)
+    # --- decode tracking (regressions were invisible before round 3).
+    # Decode lanes use the coarse-to-fine pyramid fast path (round 5,
+    # DecoderConfig.pyramid) — the PSNR lanes below decode through the SAME
+    # config so the quality claims cover the timed path.
+    from fractencode_tpu import DecoderConfig
+
+    dcfg_fast = DecoderConfig(pyramid=True)
     probe_mse = lambda r: float(r[2])
-    dt = time_encode(lambda: decode_plane(res), probe_mse)
+    dt = time_encode(lambda: decode_plane(res, dcfg_fast), probe_mse)
     emit("decode_512px_ms", dt * 1e3, "ms")
     res2048 = encode_plane(p2048, cfg)
     probe_plane(res2048)
-    dt = time_encode(lambda: decode_plane(res2048), probe_mse, reps=2)
+    dt = time_encode(lambda: decode_plane(res2048, dcfg_fast), probe_mse,
+                     reps=3)
     emit("decode_2048px_ms", dt * 1e3, "ms")
     del res2048
 
@@ -168,7 +182,7 @@ def main():
     batch16 = jnp.asarray(np.stack([plane] * 16))
     res_b16 = encode_batch_stacked(batch16, cfg)
     np.asarray(res_b16.s[-1])
-    dt = time_encode(lambda: decode_batch_stacked(res_b16),
+    dt = time_encode(lambda: decode_batch_stacked(res_b16, dcfg_fast),
                      lambda r: float(np.asarray(r[2][-1])))
     emit("decode_throughput_512px_batch16", 16 / dt, "frames/s")
     del batch16, res_b16
@@ -178,7 +192,7 @@ def main():
     from fractencode_tpu.codec import pack_result, unpack_result
 
     blob = pack_result(res, plane=plane)  # mean-centred o (the CLI default)
-    outq, _, _ = decode_plane(unpack_result(blob))
+    outq, _, _ = decode_plane(unpack_result(blob), dcfg_fast)
     mse_q = max(((np.asarray(outq).astype(float) - plane.astype(float)) ** 2).mean(), 1e-9)
     emit("psnr_512px_q5s7o_db", 10.0 * np.log10(255.0**2 / mse_q), "dB")
     emit("bpp_512px_q5s7o", len(blob) * 8.0 / (h * w), "bits/px")
@@ -192,17 +206,36 @@ def main():
     p1024_np = np.asarray(p1024)
     qres = encode_plane_quadtree(p1024, cfg, qcfg)
     qblob = pack_quadtree(qres, plane=p1024_np)
-    outq, _, _ = decode_plane_quadtree(unpack_quadtree(qblob))
+    outq, _, _ = decode_plane_quadtree(unpack_quadtree(qblob), dcfg_fast)
     mse_q = max(((np.asarray(outq).astype(float) - p1024_np.astype(float)) ** 2).mean(), 1e-9)
     emit("psnr_1024px_quadtree_q5s7o_db", 10.0 * np.log10(255.0**2 / mse_q), "dB")
     emit("bpp_1024px_quadtree_q5s7o", len(qblob) * 8.0 / (1024 * 1024), "bits/px")
 
+    # --- second operating point on the rate-distortion curve (hq: finer
+    # quantization + stricter quadtree threshold; the full sweep lives in
+    # docs/PERF_NOTES.md via scripts/bench_rd_curve.py)
+    qcfg_hq = QuadtreeConfig(min_size=4, max_size=16, error_threshold=25.0)
+    qres_hq = encode_plane_quadtree(p1024, cfg, qcfg_hq)
+    qblob_hq = pack_quadtree(qres_hq, plane=p1024_np, s_bits=6, o_bits=7)
+    outq, _, _ = decode_plane_quadtree(unpack_quadtree(qblob_hq), dcfg_fast)
+    mse_q = max(((np.asarray(outq).astype(float) - p1024_np.astype(float)) ** 2).mean(), 1e-9)
+    emit("psnr_1024px_quadtree_hq_db", 10.0 * np.log10(255.0**2 / mse_q), "dB")
+    emit("bpp_1024px_quadtree_hq", len(qblob_hq) * 8.0 / (1024 * 1024), "bits/px")
+
     # --- config 5 (single-chip lane): 4096^2 default search
     p4096 = stage(tile_to(plane, 4096))
     jnp.add(p4096, 0).block_until_ready()
-    dt = time_encode(lambda: encode_plane(p4096, cfg), probe_plane, reps=2)
+    dt = time_encode(lambda: encode_plane(p4096, cfg), probe_plane, reps=3)
     emit("encode_4096px_ms", dt * 1e3, "ms")
     del p4096
+
+    # --- 8K lane (round 5): the ceiling lifted in round 4 gets a tracked
+    # metric so regressions are driver-visible
+    p8192 = stage(tile_to(plane, 8192))
+    jnp.add(p8192, 0).block_until_ready()
+    dt = time_encode(lambda: encode_plane(p8192, cfg), probe_plane, reps=1)
+    emit("encode_8192px_ms", dt * 1e3, "ms")
+    del p8192
 
     # --- batch-64 throughput (secondary): deeper batches amortize the
     # per-dispatch floor further; per-frame device work is identical

@@ -194,9 +194,15 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from .params import DecoderConfig
 
+    # --compat pins the strict reference decode semantics: flat-gray start
+    # (no pyramid fast path) and stall_window=0 so the iteration count
+    # follows Encoder2.hpp:76-87 exactly (the stall heuristic is this
+    # framework's addition; 0 disables it — see DecoderConfig.stall_window).
     dcfg = DecoderConfig(
         max_iterations=args.decode if args.decode > 0 else 300,
         epsilon=args.decode_rms,
+        pyramid=not args.compat,
+        stall_window=0 if args.compat else DecoderConfig.stall_window,
     )
 
     if args.decode_file:

@@ -29,7 +29,13 @@ from .quantize import DEFAULT_O_BITS, DEFAULT_S_BITS, dequantize, quantize
 __all__ = ["pack_result", "unpack_result", "BitstreamHeader"]
 
 _MAGIC = b"FTC1"
+# v1: fixed-width packed items.  v2 (round 5): declared whenever the payload
+# is entropy-coded (flag bit 1) so a pre-entropy reader fails loudly on the
+# version instead of silently mis-parsing Huffman bytes as fixed-width items
+# (round 4 signalled entropy by flag alone; those v1-entropy files are still
+# accepted — the flag is honored for both versions).
 _VERSION = 1
+_VERSION_ENTROPY = 2
 
 
 def _bit_width(n: int) -> int:
@@ -75,6 +81,16 @@ _FLAG_O_IS_MEAN = 1
 _FLAG_ENTROPY = 2
 # all items valid: the validity bitmask is omitted entirely
 _FLAG_ALL_VALID = 4
+# round 5: flat-block short-circuit.  Items whose |s| is within half a
+# quantizer bucket of zero decode as s = 0 exactly (a flat block: the
+# output is just o), so their domain/transform fields carry no information
+# and are OMITTED from those streams.  The s stream signals them with the
+# extra symbol ``1 << s_bits``.  Error-neutral by construction: replacing
+# s by 0 perturbs s by <= bucket/2 — the quantizer's own worst-case error —
+# and only for blocks the encoder already deemed almost flat.  Measured
+# ~16-23% of items at the default 5-bit budget => ~2 bits/item saved
+# (docs/PERF_NOTES.md round 5).
+_FLAG_FLAT_SC = 8
 # flags bits 4-7: num_transforms the search considered (0 = legacy -> 8);
 # lets the decoder build gather tables for only the searched isometries
 _NT_SHIFT = 4
@@ -102,29 +118,47 @@ def _o_reconstruct(deltas: np.ndarray, row_len: int) -> np.ndarray:
 
 
 def _entropy_pack_fields(dom, tr, s_q, o_q, valid, d_bits,
-                         row_len: int = 0) -> bytes:
+                         row_len: int = 0, flat=None,
+                         flat_sym: int = 0) -> bytes:
     """Per-field entropy streams: validity bitmask (raw bytes, framed),
     domain byte planes (raw values — winners are spatially uncorrelated,
-    delta coding measurably hurts), transform, s_q, and zigzag prediction
-    residuals of o_q."""
+    delta AND locality-recentered coding both measurably hurt, see
+    docs/PERF_NOTES.md round 5), transform, s_q, and zigzag prediction
+    residuals of o_q.
+
+    ``flat`` ([n] bool or None): flat-short-circuit mask.  When given, the
+    s stream comes FIRST and marks flat items with ``flat_sym``; the domain
+    byte planes and transform stream then carry only the non-flat items
+    (the decoder learns their count from the s stream)."""
     from .entropy import encode_stream, zigzag
 
     parts = []
     if not valid.all():
         parts.append(encode_stream(np.packbits(valid.astype(np.uint8))))
+    if flat is not None:
+        s_sym = np.where(flat, flat_sym, s_q).astype(np.uint8)
+        parts.append(encode_stream(s_sym))
+        keep = ~flat
+        dom = dom[keep]
+        tr = tr[keep]
     nb = (d_bits + 7) // 8
     dom64 = dom.astype(np.uint64)
     for j in range(nb):
         parts.append(encode_stream(((dom64 >> (8 * j)) & 0xFF).astype(np.uint8)))
     parts.append(encode_stream(tr.astype(np.uint8)))
-    parts.append(encode_stream(s_q.astype(np.uint8)))
+    if flat is None:
+        parts.append(encode_stream(s_q.astype(np.uint8)))
     od = zigzag(_o_predict_deltas(o_q, row_len))
     parts.append(encode_stream(od.astype(np.uint8)))
     return b"".join(parts)
 
 
 def _entropy_unpack_fields(data: bytes, offset: int, n: int, d_bits: int,
-                           all_valid: bool, row_len: int = 0):
+                           all_valid: bool, row_len: int = 0,
+                           flat_sym: int | None = None):
+    """Mirror of ``_entropy_pack_fields``.  With ``flat_sym`` (flat
+    short-circuit active) the returned s_q may contain that symbol; flat
+    items get dom = 0, tr = 0 and must decode as s = 0."""
     from .entropy import decode_stream, unzigzag
 
     if all_valid:
@@ -132,15 +166,30 @@ def _entropy_unpack_fields(data: bytes, offset: int, n: int, d_bits: int,
     else:
         vb, offset = decode_stream(data, offset, expect_count=(n + 7) // 8)
         valid = np.unpackbits(vb, count=n).astype(bool)
+    flat = None
+    if flat_sym is not None:
+        s_q, offset = decode_stream(data, offset, expect_count=n)
+        flat = s_q == flat_sym
+        n_code = int((~flat).sum())
+    else:
+        n_code = n
     nb = (d_bits + 7) // 8
-    dom = np.zeros(n, np.uint64)
+    dom_c = np.zeros(n_code, np.uint64)
     for j in range(nb):
-        plane, offset = decode_stream(data, offset, expect_count=n)
-        dom |= plane.astype(np.uint64) << (8 * j)
-    tr, offset = decode_stream(data, offset, expect_count=n)
-    s_q, offset = decode_stream(data, offset, expect_count=n)
+        plane, offset = decode_stream(data, offset, expect_count=n_code)
+        dom_c |= plane.astype(np.uint64) << (8 * j)
+    tr_c, offset = decode_stream(data, offset, expect_count=n_code)
+    if flat_sym is None:
+        s_q, offset = decode_stream(data, offset, expect_count=n)
     od, offset = decode_stream(data, offset, expect_count=n)
     o_q = _o_reconstruct(unzigzag(od.astype(np.uint32)), row_len)
+    if flat is not None:
+        dom = np.zeros(n, np.uint64)
+        tr = np.zeros(n, np.uint8)
+        dom[~flat] = dom_c
+        tr[~flat] = tr_c
+    else:
+        dom, tr = dom_c, tr_c
     return dom, tr.astype(np.uint32), s_q.astype(np.uint32), \
         o_q.astype(np.uint32), valid, offset
 
@@ -151,6 +200,7 @@ def pack_result(
     o_bits: int = DEFAULT_O_BITS,
     plane=None,
     entropy: bool = True,
+    flat_scale: float = 0.35,
 ) -> bytes:
     """Serialize an ``EncodeResult`` to the compressed byte stream.
 
@@ -226,17 +276,35 @@ def pack_result(
     # keep whichever representation is smaller — entropy never loses
     if entropy and s_bits <= 8 and o_bits <= 7 and len(valid):
         all_valid = bool(valid.all())
-        e_payload = _entropy_pack_fields(
-            dom, tr, s_q, o_q, valid, d_bits,
-            row_len=result.width // result.target_size)
+        row_len = result.width // result.target_size
+        e_payload = _entropy_pack_fields(dom, tr, s_q, o_q, valid, d_bits,
+                                         row_len=row_len)
+        e_flags = _FLAG_ENTROPY | (_FLAG_ALL_VALID if all_valid else 0)
+        # flat short-circuit (see _FLAG_FLAT_SC): |s| within half a bucket
+        # of zero decodes as exactly 0, so dom/transform bits are dropped.
+        # Invalid items decode as s = 0 anyway — fold them in too.
+        if s_bits <= 7 and s_max > s_min and flat_scale > 0:
+            bucket = (s_max - s_min) / (1 << s_bits)
+            # default 0.35 buckets: measured PSNR-neutral-or-better on the
+            # fixtures (0.5 — the worst-case-neutral bound — costs ~0.01-
+            # 0.07 dB; 0.35 is at or above the no-flat PSNR at most of the
+            # rate win; docs/PERF_NOTES.md round 5)
+            flat = (np.abs(s) <= flat_scale * bucket) | ~valid
+            if flat.any():
+                f_payload = _entropy_pack_fields(
+                    dom, tr, s_q, o_q, valid, d_bits, row_len=row_len,
+                    flat=flat, flat_sym=1 << s_bits)
+                if len(f_payload) < len(e_payload):
+                    e_payload = f_payload
+                    e_flags |= _FLAG_FLAT_SC
         if len(e_payload) < len(payload):
             payload = e_payload
-            flags |= _FLAG_ENTROPY | (_FLAG_ALL_VALID if all_valid else 0)
+            flags |= e_flags
 
     header = struct.pack(
         _HDR_FMT,
         _MAGIC,
-        _VERSION,
+        _VERSION_ENTROPY if flags & _FLAG_ENTROPY else _VERSION,
         flags,
         result.width,
         result.height,
@@ -266,18 +334,20 @@ def unpack_result(data: bytes):
     (magic, version, flags, width, height, source_size, target_size,
      domain_step, s_bits, o_bits, s_min, s_max, o_min, o_max,
      num_ranges, num_domains) = fields
-    if magic != _MAGIC or version != _VERSION:
+    if magic != _MAGIC or version not in (_VERSION, _VERSION_ENTROPY):
         raise ValueError("bad bitstream header")
     o_is_mean = bool(flags & _FLAG_O_IS_MEAN)
     num_transforms = ((flags >> _NT_SHIFT) & 0xF) or 8
 
     d_bits = _bit_width(num_domains)
     t_bits = 3
+    flat_sym = (1 << s_bits) if flags & _FLAG_FLAT_SC else None
     if flags & _FLAG_ENTROPY:
         dom, tr, s_q, o_q, valid, _ = _entropy_unpack_fields(
             data, hdr_size, num_ranges, d_bits,
             bool(flags & _FLAG_ALL_VALID),
             row_len=width // target_size,
+            flat_sym=flat_sym,
         )
     else:
         from .native import unpack_items_native
@@ -300,7 +370,13 @@ def unpack_result(data: bytes):
             s_q = _bits_to_ints(bits[:, pos : pos + s_bits]); pos += s_bits
             o_q = _bits_to_ints(bits[:, pos : pos + o_bits])
 
-    s = dequantize(s_q, s_min, s_max, s_bits)
+    if flat_sym is not None:
+        flat = s_q == flat_sym
+        s = np.where(flat, 0.0,
+                     dequantize(np.minimum(s_q, flat_sym - 1),
+                                s_min, s_max, s_bits))
+    else:
+        s = dequantize(s_q, s_min, s_max, s_bits)
     o = dequantize(o_q, o_min, o_max, o_bits)
 
     return EncodeResult(

@@ -33,10 +33,23 @@ _MAGIC = b"FTQ1"
 # v4 (round 4): acceptance bitmaps are framed entropy streams
 # (codec/entropy.py) and per-level payloads may be per-field Huffman streams
 # (flags bit 1); v3 files remain readable.
-_VERSION = 4
+# v5 (round 5): implied acceptance maps (flags bit 4).  The selection
+# cascade guarantees structure the full bitmaps wasted bits on: a block
+# under an accepted coarser leaf is never accepted, and the finest level
+# accepts EXACTLY the uncovered remainder.  So each non-final level
+# transmits one bit per *uncovered* position only, and the final level
+# transmits nothing (measured at 1024^2: ~78k -> ~13k bits of map).
+# v3/v4 files remain readable.
+_VERSION = 5
 _FLAG_O_IS_MEAN = 1
 _FLAG_ENTROPY = 2
-_NT_SHIFT = 4  # flags bits 4-7: num_transforms (0 = legacy -> 8)
+# round 5: flat-block short-circuit in the per-level entropy streams
+# (see bitstream._FLAG_FLAT_SC — same scheme, same error-neutrality bound)
+_FLAG_FLAT_SC = 8
+# round 5 (v5): acceptance maps transmit only the undetermined bits
+_FLAG_IMPLIED_ACC = 16
+_NT_SHIFT = 8  # v5: flags bits 8-11: num_transforms (0 = legacy -> 8)
+_NT_SHIFT_V34 = 4  # v3/v4 files carried num_transforms in bits 4-7
 # magic, version, flags, nlevels, width, height, sbits, obits
 _HDR_FMT = "<4sHHHIIHH"
 _LVL_FMT = "<HHHIffff"  # range, domain, step, naccept, smin, smax, omin, omax
@@ -44,39 +57,74 @@ _LVL_FMT = "<HHHIffff"  # range, domain, step, naccept, smin, smax, omin, omax
 
 def pack_quadtree(result, s_bits: int = DEFAULT_S_BITS,
                   o_bits: int = DEFAULT_O_BITS, plane=None,
-                  entropy: bool = True) -> bytes:
+                  entropy: bool = True,
+                  flat_scale: float = 0.35) -> bytes:
     """Serialize a ``QuadtreeResult``.  With ``plane`` (the source image),
     o is stored mean-centred (see module docstring) — measured >5 dB at the
     default bit budget, same as the uniform stream.  ``entropy=True``
     Huffman-codes acceptance maps and per-field leaf streams
     (``codec/entropy.py``) and keeps whichever whole-file form is smaller
     (per-stream table overhead can beat the savings on small pyramids);
-    the header flag records which was written."""
-    if entropy:
-        e = _pack_quadtree_impl(result, s_bits, o_bits, plane, True)
-        r = _pack_quadtree_impl(result, s_bits, o_bits, plane, False)
-        return e if len(e) < len(r) else r
-    return _pack_quadtree_impl(result, s_bits, o_bits, plane, False)
-
-
-def _pack_quadtree_impl(result, s_bits, o_bits, plane, entropy):
+    the header flag records which was written.  Quantization/means are
+    computed once and only the payload *assembly* differs between the two
+    candidate forms (the flag is whole-file because it also switches the
+    acceptance-map framing)."""
     o_is_mean = plane is not None
     if o_is_mean:
         p = np.asarray(plane, dtype=np.float64)
         h, w = p.shape
-    entropy = entropy and s_bits <= 8 and o_bits <= 7
-    from .entropy import encode_stream, zigzag
+    want_entropy = entropy and s_bits <= 8 and o_bits <= 7
+    from .entropy import encode_stream
+    from .bitstream import _entropy_pack_fields
+    from .native import pack_items_native
 
     nt = getattr(result.levels[0], "num_transforms", 8) if result.levels else 8
-    parts = [
-        struct.pack(_HDR_FMT, _MAGIC, _VERSION,
-                    (_FLAG_O_IS_MEAN if o_is_mean else 0)
-                    | (_FLAG_ENTROPY if entropy else 0)
-                    | (nt << _NT_SHIFT),
-                    len(result.levels),
-                    result.width, result.height, s_bits, o_bits)
-    ]
-    for lvl in result.levels:
+
+    # Implied-acceptance analysis (v5): verify the selection-cascade
+    # structure (children of accepted leaves never accepted; final level
+    # accepts exactly the uncovered remainder; levels refine by exactly 2x)
+    # and precompute the per-level uncovered masks.  Falls back to full
+    # bitmaps when a hand-built result violates it.
+    implied_ok = bool(result.levels)
+    uncov_masks = []
+    cov = None
+    for i, lvl in enumerate(result.levels):
+        nyb = result.height // lvl.range_size
+        nxb = result.width // lvl.range_size
+        a = np.asarray(lvl.accepted)
+        if cov is None:
+            u = np.ones(nyb * nxb, bool)
+        elif nyb == cov.shape[0] * 2 and nxb == cov.shape[1] * 2:
+            u = ~np.repeat(np.repeat(cov, 2, 0), 2, 1).reshape(-1)
+        else:
+            implied_ok = False
+            break
+        if (a & ~u).any() or (
+            i == len(result.levels) - 1 and not np.array_equal(a, u)
+        ):
+            implied_ok = False
+            break
+        uncov_masks.append(u)
+        cov = (~u | a).reshape(nyb, nxb)
+
+    def header(extra_flags: int) -> bytes:
+        return struct.pack(_HDR_FMT, _MAGIC, _VERSION,
+                           (_FLAG_O_IS_MEAN if o_is_mean else 0)
+                           | extra_flags
+                           | (nt << _NT_SHIFT),
+                           len(result.levels),
+                           result.width, result.height, s_bits, o_bits)
+
+    e_base = _FLAG_ENTROPY | (_FLAG_IMPLIED_ACC if implied_ok else 0)
+    raw_parts = [header(0)]
+    ent_parts = [header(e_base)] if want_entropy else None
+    # third candidate: entropy + flat short-circuit (s_bits <= 7 so the
+    # flat symbol 1 << s_bits fits the byte alphabet)
+    flat_parts = (
+        [header(e_base | _FLAG_FLAT_SC)]
+        if want_entropy and s_bits <= 7 and flat_scale > 0 else None
+    )
+    for lvl_i, lvl in enumerate(result.levels):
         acc = np.asarray(lvl.accepted)
         sel = np.where(acc)[0]
         s = np.asarray(lvl.s, np.float64)[sel]
@@ -104,28 +152,47 @@ def _pack_quadtree_impl(result, s_bits, o_bits, plane, entropy):
         ny = (result.height - lvl.domain_size) // lvl.domain_step + 1
         d_bits = _bit_width(nx * ny)
 
-        parts.append(struct.pack(_LVL_FMT, lvl.range_size, lvl.domain_size,
-                                 lvl.domain_step, len(sel),
-                                 s_min, s_max, o_min, o_max))
+        lvl_hdr = struct.pack(_LVL_FMT, lvl.range_size, lvl.domain_size,
+                              lvl.domain_step, len(sel),
+                              s_min, s_max, o_min, o_max)
+        raw_parts.append(lvl_hdr)
         acc_bytes = np.packbits(acc.astype(np.uint8))
-        if entropy:
-            # framed acceptance stream (fine-level maps are mostly zeros)
-            parts.append(encode_stream(acc_bytes))
+        raw_parts.append(acc_bytes.tobytes())
+        if want_entropy:
+            if implied_ok:
+                # only undetermined bits; the final level is fully implied
+                if lvl_i == len(result.levels) - 1:
+                    acc_stream = b""
+                else:
+                    acc_stream = encode_stream(
+                        np.packbits(acc[uncov_masks[lvl_i]].astype(np.uint8)))
+            else:
+                # framed full map (fine-level maps are mostly zeros)
+                acc_stream = encode_stream(acc_bytes)
         else:
-            parts.append(acc_bytes.tobytes())
+            acc_stream = b""
+        if ent_parts is not None:
+            ent_parts.append(lvl_hdr)
+            ent_parts.append(acc_stream)
+        if flat_parts is not None:
+            flat_parts.append(lvl_hdr)
+            flat_parts.append(acc_stream)
         if len(sel):
             s_q = quantize(s, s_min, s_max, s_bits)
             o_q = quantize(o, o_min, o_max, o_bits)
-            if entropy:
-                from .bitstream import _entropy_pack_fields
-
-                ones = np.ones(len(sel), bool)
-                parts.append(_entropy_pack_fields(dom, tr, s_q, o_q, ones,
-                                                  d_bits))
-                continue
+            if ent_parts is not None:
+                ones_b = np.ones(len(sel), bool)
+                ent_parts.append(_entropy_pack_fields(dom, tr, s_q, o_q,
+                                                      ones_b, d_bits))
+            if flat_parts is not None:
+                ones_b = np.ones(len(sel), bool)
+                bucket = (s_max - s_min) / (1 << s_bits)
+                flat = np.abs(s) <= flat_scale * bucket if s_max > s_min \
+                    else np.zeros(len(sel), bool)
+                flat_parts.append(_entropy_pack_fields(
+                    dom, tr, s_q, o_q, ones_b, d_bits,
+                    flat=flat, flat_sym=1 << s_bits))
             ones = np.ones(len(sel), np.uint8)
-            from .native import pack_items_native
-
             payload = pack_items_native(dom, tr, s_q, o_q, ones, d_bits, 3,
                                         s_bits, o_bits)
             if payload is None:  # no compiler available: numpy fallback
@@ -140,8 +207,13 @@ def _pack_quadtree_impl(result, s_bits, o_bits, plane, entropy):
                     axis=1,
                 )
                 payload = np.packbits(bits.reshape(-1)).tobytes()
-            parts.append(payload)
-    return b"".join(parts)
+            raw_parts.append(payload)
+    candidates = [b"".join(raw_parts)]
+    if ent_parts is not None:
+        candidates.append(b"".join(ent_parts))
+    if flat_parts is not None:
+        candidates.append(b"".join(flat_parts))
+    return min(candidates, key=len)
 
 
 def unpack_quadtree(data: bytes):
@@ -153,23 +225,54 @@ def unpack_quadtree(data: bytes):
     magic, version, flags, nlevels, width, height, s_bits, o_bits = (
         struct.unpack(_HDR_FMT, data[:off])
     )
-    if magic != _MAGIC or version not in (3, _VERSION):
+    if magic != _MAGIC or version not in (3, 4, _VERSION):
         raise ValueError("bad quadtree bitstream header")
     o_is_mean = bool(flags & _FLAG_O_IS_MEAN)
     use_entropy = version >= 4 and bool(flags & _FLAG_ENTROPY)
     framed_acc = version >= 4 and use_entropy
-    num_transforms = ((flags >> _NT_SHIFT) & 0xF) or 8
+    flat_sym = (
+        (1 << s_bits)
+        if (version >= 5 and use_entropy and flags & _FLAG_FLAT_SC)
+        else None
+    )
+    implied_acc = (version >= 5 and use_entropy
+                   and bool(flags & _FLAG_IMPLIED_ACC))
+    if version >= 5:
+        num_transforms = ((flags >> _NT_SHIFT) & 0xF) or 8
+    else:
+        num_transforms = ((flags >> _NT_SHIFT_V34) & 0xF) or 8
 
     levels = []
-    for _ in range(nlevels):
+    cov = None  # implied-acc coverage state, [nyb, nxb] bool
+    for lvl_i in range(nlevels):
         lvl_size = struct.calcsize(_LVL_FMT)
         (range_size, domain_size, domain_step, naccept,
          s_min, s_max, o_min, o_max) = struct.unpack(
             _LVL_FMT, data[off : off + lvl_size]
         )
         off += lvl_size
-        n_blocks = (width // range_size) * (height // range_size)
-        if framed_acc:
+        nyb = height // range_size
+        nxb = width // range_size
+        n_blocks = nyb * nxb
+        if implied_acc:
+            from .entropy import decode_stream
+
+            if cov is None:
+                uncov = np.ones(n_blocks, bool)
+            else:
+                if nyb != cov.shape[0] * 2 or nxb != cov.shape[1] * 2:
+                    raise ValueError("implied acceptance: bad level geometry")
+                uncov = ~np.repeat(np.repeat(cov, 2, 0), 2, 1).reshape(-1)
+            if lvl_i == nlevels - 1:
+                acc = uncov
+            else:
+                n_und = int(uncov.sum())
+                ub, off = decode_stream(data, off,
+                                        expect_count=(n_und + 7) // 8)
+                acc = np.zeros(n_blocks, bool)
+                acc[uncov] = np.unpackbits(ub, count=n_und).astype(bool)
+            cov = (~uncov | acc).reshape(nyb, nxb)
+        elif framed_acc:
             from .entropy import decode_stream
 
             acc_bytes, off = decode_stream(data, off,
@@ -182,6 +285,9 @@ def unpack_quadtree(data: bytes):
                 count=n_blocks,
             ).astype(bool)
             off += bm_bytes
+        if naccept != int(acc.sum()):
+            raise ValueError(
+                f"acceptance map count {int(acc.sum())} != header {naccept}")
 
         nx = (width - domain_size) // domain_step + 1
         ny = (height - domain_size) // domain_step + 1
@@ -195,7 +301,8 @@ def unpack_quadtree(data: bytes):
             from .bitstream import _entropy_unpack_fields
 
             dom_v, tr_v, s_qv, o_qv, _, off = _entropy_unpack_fields(
-                data, off, naccept, d_bits, all_valid=True)
+                data, off, naccept, d_bits, all_valid=True,
+                flat_sym=flat_sym)
         elif naccept:
             nbytes = -(-naccept * item_bits // 8)
             from .native import unpack_items_native
@@ -216,7 +323,14 @@ def unpack_quadtree(data: bytes):
                 o_qv = _bits_to_ints(bits[:, p : p + o_bits])
             off += nbytes
         if naccept:
-            s_v = dequantize(s_qv, s_min, s_max, s_bits)
+            if flat_sym is not None:
+                flat_v = s_qv == flat_sym
+                s_v = np.where(
+                    flat_v, 0.0,
+                    dequantize(np.minimum(s_qv, flat_sym - 1),
+                               s_min, s_max, s_bits))
+            else:
+                s_v = dequantize(s_qv, s_min, s_max, s_bits)
             o_v = dequantize(o_qv, o_min, o_max, o_bits)
             sel = np.where(acc)[0]
             dom[sel] = dom_v

@@ -107,8 +107,11 @@ def decode_huffman_native(payload: bytes, n_bits: int, n_syms: int,
     if lib is None or not hasattr(lib, "ftc_huffman_decode"):
         return None
     out = np.empty(n_syms, np.uint8)
+    # read-only view: the C side only reads the payload (const scan loop in
+    # native/bitpack.cpp), so no defensive copy — multi-plane/quadtree files
+    # decode many per-field streams and the copies were pure overhead
     rc = lib.ftc_huffman_decode(
-        np.frombuffer(payload, np.uint8).copy(), len(payload),
+        np.frombuffer(payload, np.uint8), len(payload),
         ctypes.c_size_t(n_bits),
         np.ascontiguousarray(lengths, np.uint8),
         out, ctypes.c_size_t(n_syms),
@@ -128,7 +131,7 @@ def unpack_items_native(data: bytes, n, d_bits, t_bits, s_bits, o_bits):
     sq = np.empty(n, np.uint32)
     oq = np.empty(n, np.uint32)
     valid = np.empty(n, np.uint8)
-    buf = np.frombuffer(data, dtype=np.uint8).copy()
+    buf = np.frombuffer(data, dtype=np.uint8)  # read-only; C side only reads
     lib.ftc_unpack_items(n, buf, d_bits, t_bits, s_bits, o_bits,
                          dom, tr, sq, oq, valid)
     return dom, tr, sq, oq, valid.astype(bool)

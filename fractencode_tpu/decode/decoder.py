@@ -199,15 +199,41 @@ def sample_domains(img_u8, tables):
     if kind == "cb":
         code, pos, tap_idx, ny, nx, s2 = idx
         half4 = _half_sums_u16(img_u8)
-        # one strided slice per distinct patch position: [U, D] pool
-        planes = [
-            jax.lax.slice(
-                half4, (dy, dx),
-                (dy + (ny - 1) * s2 + 1, dx + (nx - 1) * s2 + 1),
-                (s2, s2),
-            ).reshape(-1)
-            for dy, dx in pos
-        ]
+        h2, w2 = half4.shape
+        # One slice per distinct patch position: [U, D] pool.  Lane-strided
+        # (column) slices are ~4x the cost of sublane-strided ones on TPU
+        # (measured 2.2 -> 0.6 ms/step at 2048^2, scripts/micro_pool2.py),
+        # so hoist the column stride: s2 column-phase images (one
+        # lane-strided slice each), then every patch slice is row-strided
+        # with contiguous columns.  Element selection is identical.
+        planes = []
+        if s2 > 1:
+            cols = {}
+            for dy, dx in pos:
+                b = dx % s2
+                if b not in cols:
+                    cols[b] = jax.lax.slice(half4, (0, b), (h2, w2),
+                                            (1, s2))
+                y = cols[b]
+                c0 = dx // s2
+                if c0 + nx > y.shape[1]:  # degenerate geometry: direct slice
+                    planes.append(jax.lax.slice(
+                        half4, (dy, dx),
+                        (dy + (ny - 1) * s2 + 1, dx + (nx - 1) * s2 + 1),
+                        (s2, s2)).reshape(-1))
+                else:
+                    planes.append(jax.lax.slice(
+                        y, (dy, c0), (dy + (ny - 1) * s2 + 1, c0 + nx),
+                        (s2, 1)).reshape(-1))
+        else:
+            planes = [
+                jax.lax.slice(
+                    half4, (dy, dx),
+                    (dy + (ny - 1) * s2 + 1, dx + (nx - 1) * s2 + 1),
+                    (s2, s2),
+                ).reshape(-1)
+                for dy, dx in pos
+            ]
         base = jnp.stack(planes).T  # [D, U] u16
         t_n, k_n = tap_idx.shape
         # static reindex to the per-(domain, transform) row layout
@@ -279,6 +305,70 @@ def _mean_init_image(result: EncodeResult, dcfg: DecoderConfig):
     return jnp.repeat(jnp.repeat(img, ts, axis=0), ts, axis=1)
 
 
+def pyramid_factors(height: int, width: int, target_size: int,
+                    source_size: int, domain_step: int,
+                    max_levels: int = 2) -> tuple[int, ...]:
+    """Static coarse-to-fine scale factors (coarsest first), possibly empty.
+
+    A factor f qualifies when the whole decode geometry divides by f and the
+    scaled image still supports the half-res pool build (even dims).  PIFS
+    maps are resolution-independent — the same (domain, transform, s, o) set
+    is a contraction at every scale — so iterating at H/f costs a fraction
+    of a full-res step and lands the full-res loop near its fixed point.
+    """
+    fs = []
+    f = 2
+    while (len(fs) < max_levels and target_size % f == 0
+           and source_size % f == 0 and domain_step % f == 0
+           and height % (2 * f) == 0 and width % (2 * f) == 0
+           and source_size // f >= 2 and domain_step // f >= 1):
+        fs.append(f)
+        f *= 2
+    return tuple(reversed(fs))
+
+
+def _pyramid_init(result: EncodeResult, s, o, dcfg: DecoderConfig):
+    """Coarse-to-fine start image for the full-res loop, or None.
+
+    Runs ``pyramid_steps`` fixed-point iterations at the coarsest scale and
+    ``pyramid_refine_steps`` at each intermediate scale, upsampling by pixel
+    replication between scales.  All scales reuse ``_decode_step`` (the
+    scaled geometry routes through the same cb/half/full table builder), so
+    per-scale semantics match the reference map application exactly — only
+    the resolution differs.
+    """
+    h, w = result.height, result.width
+    ts = result.target_size
+    fs = pyramid_factors(h, w, ts, result.source_size, result.domain_step,
+                         max_levels=dcfg.pyramid_levels)
+    if not fs:
+        return None
+    nt = getattr(result, "num_transforms", NUM_TRANSFORMS)
+    img = None
+    for i, f in enumerate(fs):
+        hf, wf = h // f, w // f
+        tables = build_decode_tables(
+            result.domain_idx, result.transform, wf, hf,
+            result.source_size // f, ts // f, result.domain_step // f, nt,
+        )
+        tsf = ts // f
+
+        def stp(im, tables=tables, hf=hf, wf=wf, tsf=tsf):
+            return _decode_step(im, tables, s, o, hf, wf, tsf,
+                                result.o_is_mean)
+
+        if img is None:
+            img = jnp.full((hf, wf), dcfg.initial_value, dtype=jnp.uint8)
+            n = dcfg.pyramid_steps
+        else:
+            n = dcfg.pyramid_refine_steps
+        img = jax.lax.fori_loop(0, n, lambda _, im, stp=stp: stp(im), img)
+        rep = f // (fs[i + 1] if i + 1 < len(fs) else 1)
+        if rep > 1:
+            img = jnp.repeat(jnp.repeat(img, rep, axis=0), rep, axis=1)
+    return img
+
+
 def _decode_core(result: EncodeResult, dcfg: DecoderConfig):
     """Traceable decode loop shared by ``decode_plane`` (jitted single
     plane) and ``decode_batch_stacked`` (lax.map over frames)."""
@@ -295,6 +385,26 @@ def _decode_core(result: EncodeResult, dcfg: DecoderConfig):
         mi = _mean_init_image(result, dcfg)
         if mi is not None:
             init = mi
+    if dcfg.pyramid:
+        pi = _pyramid_init(result, s, o, dcfg)
+        if pi is not None:
+            # fixed-count full-res refinement: the pyramid start is a few
+            # contraction steps from the fixed point, and the relative-
+            # improvement patience loop cannot see that (it counts
+            # improvements relative to the best seen, so a near-converged
+            # start still pays the full patience window).  Measured:
+            # PSNR saturates at 4-5 steps from this start
+            # (scripts/measure_pyramid_steps.py); the exit heuristics below
+            # would run 2-4x longer for <=0.01 dB.
+            def fstep(i, carry):
+                img, _ = carry
+                return step(img), img
+
+            img, prev = jax.lax.fori_loop(
+                0, dcfg.pyramid_full_steps, fstep, (pi, pi))
+            d = img.astype(jnp.float32) - prev.astype(jnp.float32)
+            mse = jnp.sum(d * d) / (h * w)
+            return img, jnp.int32(dcfg.pyramid_full_steps), mse
 
     def cond(carry):
         img, prev, steps, mse, done, best, since = carry

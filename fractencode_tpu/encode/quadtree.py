@@ -449,27 +449,88 @@ def _level_step(img_u8, tables, s, o, height, width, range_size,
     )
 
 
-def _decode_quadtree_loop(levels, h: int, w: int, dcfg: DecoderConfig):
-    """The shared fixed-point loop (single-plane and batch-sharded decode)."""
-    idxs = [_level_tables(l, w, h) for l in levels]
+def _quadtree_step_at(levels, h: int, w: int, f: int):
+    """Composite decode step at scale 1/f (f=1 is the full-res step)."""
+    from ..decode.decoder import build_decode_tables
+
+    hf, wf = h // f, w // f
+    idxs = [
+        build_decode_tables(
+            l.domain_idx, l.transform, wf, hf, l.domain_size // f,
+            l.range_size // f, l.domain_step // f,
+            getattr(l, "num_transforms", 8),
+        )
+        for l in levels
+    ]
     pixel_masks = [
         jnp.repeat(
             jnp.repeat(
                 l.accepted.reshape(h // l.range_size, w // l.range_size),
-                l.range_size, axis=0,
+                l.range_size // f, axis=0,
             ),
-            l.range_size, axis=1,
+            l.range_size // f, axis=1,
         )
         for l in levels
     ]
 
     def step(img):
-        out = jnp.zeros((h, w), jnp.float32)
+        out = jnp.zeros((hf, wf), jnp.float32)
         for l, idx, pmask in zip(levels, idxs, pixel_masks):
-            lvl = _level_step(img, idx, l.s, l.o, h, w, l.range_size,
+            lvl = _level_step(img, idx, l.s, l.o, hf, wf, l.range_size // f,
                               l.o_is_mean)
             out = jnp.where(pmask, lvl, out)
         return out.astype(jnp.uint8)
+
+    return step
+
+
+def _pyramid_init_quadtree(levels, h: int, w: int, dcfg: DecoderConfig):
+    """Coarse-to-fine start image for the quadtree loop, or None
+    (see decode.decoder._pyramid_init — same scheme, composite steps)."""
+    from ..decode.decoder import pyramid_factors
+
+    fs = None
+    for l in levels:
+        lf = pyramid_factors(h, w, l.range_size, l.domain_size, l.domain_step,
+                             max_levels=dcfg.pyramid_levels)
+        fs = set(lf) if fs is None else fs & set(lf)
+    fs = tuple(sorted(fs or (), reverse=True))
+    if not fs:
+        return None
+    img = None
+    for i, f in enumerate(fs):
+        step_f = _quadtree_step_at(levels, h, w, f)
+        if img is None:
+            img = jnp.full((h // f, w // f), dcfg.initial_value,
+                           dtype=jnp.uint8)
+            n = dcfg.pyramid_steps
+        else:
+            n = dcfg.pyramid_refine_steps
+        img = jax.lax.fori_loop(0, n, lambda _, im, s=step_f: s(im), img)
+        rep = f // (fs[i + 1] if i + 1 < len(fs) else 1)
+        if rep > 1:
+            img = jnp.repeat(jnp.repeat(img, rep, axis=0), rep, axis=1)
+    return img
+
+
+def _decode_quadtree_loop(levels, h: int, w: int, dcfg: DecoderConfig):
+    """The shared fixed-point loop (single-plane and batch-sharded decode)."""
+    step = _quadtree_step_at(levels, h, w, 1)
+
+    if dcfg.pyramid:
+        pi = _pyramid_init_quadtree(levels, h, w, dcfg)
+        if pi is not None:
+            # fixed-count full-res refinement from the near-converged
+            # pyramid start (see decode.decoder._decode_core)
+            def fstep(i, carry):
+                img, _ = carry
+                return step(img), img
+
+            img, prev = jax.lax.fori_loop(
+                0, dcfg.pyramid_full_steps, fstep, (pi, pi))
+            d = img.astype(jnp.float32) - prev.astype(jnp.float32)
+            mse = jnp.sum(d * d) / (h * w)
+            return img, jnp.int32(dcfg.pyramid_full_steps), mse
 
     init = jnp.full((h, w), dcfg.initial_value, dtype=jnp.uint8)
 

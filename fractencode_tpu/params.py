@@ -114,6 +114,35 @@ class DecoderConfig:
     # identical on the 128^2 fixture).
     initial: str = "flat"
     mean_init_iters: int = 30  # block-mean fixed-point steps ("means" mode)
+    # Coarse-to-fine ("pyramid") initialization: PIFS maps are resolution-
+    # independent, so the same (domain, transform, s, o) set decodes at any
+    # scale whose geometry divides evenly.  Iterating first at 1/4 and 1/2
+    # resolution costs a small fraction of a full-res step (the pool build,
+    # box sums and gather rows all shrink with the image), and the upsampled
+    # result starts the full-res loop a few contraction steps from the fixed
+    # point — measured ~2-3x faster to the same PSNR (docs/PERF_NOTES.md
+    # round 5).  OFF by default: the flat start is the reference-parity mode
+    # (Encoder2.hpp:68-70) pinned pixel-identical by
+    # tests/test_reference_parity.py; the CLI and bench enable it.  The
+    # full-res exit rules are unchanged, so the result is the same fixed
+    # point up to the usual +-1 limit-cycle pixels.
+    pyramid: bool = False
+    pyramid_steps: int = 14  # iterations at the coarsest scale
+    pyramid_refine_steps: int = 4  # iterations at intermediate scales
+    # Coarse scales to use (1 => half resolution only).  Measured on TPU
+    # (scripts/micro_scale_step.py): the half-res step costs ~0.4x the
+    # full-res step, but quarter-res costs MORE than half-res — the [R, 1]
+    # two-byte-row gather lowers pathologically — so one coarse level is
+    # the sweet spot at every size measured.
+    pyramid_levels: int = 1
+    # Full-res iterations after the pyramid init.  Measured (scripts/
+    # measure_pyramid_steps.py): PSNR saturates after 4-5 full-res steps
+    # from the pyramid start (vs ~9 from flat), and the stall-window
+    # patience loop would keep iterating 2-4x longer for <=0.01 dB.  With
+    # ``pyramid=True`` the decoder runs exactly this many full-res steps
+    # (a lax.fori_loop — no per-step convergence bookkeeping) and reports
+    # it as the iteration count.
+    pyramid_full_steps: int = 6
 
 
 def REFERENCE_COMPAT(**overrides) -> EncoderConfig:

@@ -151,12 +151,13 @@ def test_entropy_truncation_fails_loudly(rng):
 
 
 def test_bitstream_entropy_identical_decode(lenna_y):
-    """Entropy-coded FTC1 payload: smaller file, bit-identical fields and
-    decode (the rate axis of the north star at unchanged PSNR)."""
+    """Entropy-coded FTC1 payload (flat short-circuit off): smaller file,
+    bit-identical fields and decode (the rate axis of the north star at
+    unchanged PSNR)."""
     img = np.asarray(lenna_y)[128:256, 128:256]
     res = encode_plane(img, EncoderConfig())
     raw = pack_result(res, plane=img, entropy=False)
-    ent = pack_result(res, plane=img)
+    ent = pack_result(res, plane=img, flat_scale=0.0)
     assert len(ent) < len(raw), (len(ent), len(raw))
     r0, r1 = unpack_result(raw), unpack_result(ent)
     for f in ("domain_idx", "transform", "s", "o", "valid"):
@@ -165,6 +166,44 @@ def test_bitstream_entropy_identical_decode(lenna_y):
     out0, _, _ = decode_plane(r0)
     out1, _, _ = decode_plane(r1)
     np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+
+
+def test_bitstream_flat_short_circuit(lenna_y):
+    """Flat short-circuit (the default): smaller again than plain entropy,
+    flat items decode with s == 0 exactly, non-flat fields bit-identical,
+    and the decoded PSNR stays within the flat-threshold's error-neutrality
+    envelope of the no-flat stream."""
+    from fractencode_tpu.codec.bitstream import _FLAG_FLAT_SC, _HDR_FMT
+    import struct
+
+    from fractencode_tpu.core.metrics import psnr
+
+    img = np.asarray(lenna_y)[:256, :256]
+    res = encode_plane(img, EncoderConfig())
+    ent = pack_result(res, plane=img, flat_scale=0.0)
+    flat = pack_result(res, plane=img)
+    assert len(flat) < len(ent), (len(flat), len(ent))
+    flags = struct.unpack(_HDR_FMT, flat[: struct.calcsize(_HDR_FMT)])[2]
+    assert flags & _FLAG_FLAT_SC
+    r0, r1 = unpack_result(ent), unpack_result(flat)
+    s0 = np.asarray(r0.s)
+    s1 = np.asarray(r1.s)
+    is_flat = s1 == 0.0
+    assert is_flat.any()
+    # non-flat items are untouched
+    for f in ("domain_idx", "transform", "s", "o"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r0, f))[~is_flat],
+            np.asarray(getattr(r1, f))[~is_flat])
+    # flat items really had tiny s (within the threshold's neutrality bound)
+    lo, hi = np.percentile(np.asarray(res.s), [0.5, 99.5])
+    bucket = (hi - lo) / 32
+    assert np.abs(np.asarray(res.s))[is_flat].max() <= 0.35 * bucket + 1e-9
+    out0, _, _ = decode_plane(r0)
+    out1, _, _ = decode_plane(r1)
+    p0 = float(psnr(img, np.asarray(out0)))
+    p1 = float(psnr(img, np.asarray(out1)))
+    assert p1 > p0 - 0.05, (p1, p0)
 
 
 def test_quadtree_bitstream_entropy_identical(lenna_y):
@@ -180,13 +219,26 @@ def test_quadtree_bitstream_entropy_identical(lenna_y):
     img = np.asarray(lenna_y)[128:256, 128:256]
     qres = encode_plane_quadtree(img, EncoderConfig(), QuadtreeConfig())
     raw = pack_quadtree(qres, plane=img, entropy=False)
-    ent = pack_quadtree(qres, plane=img)
+    ent = pack_quadtree(qres, plane=img, flat_scale=0.0)
     assert len(ent) <= len(raw)
     r0, r1 = unpack_quadtree(raw), unpack_quadtree(ent)
     for l0, l1 in zip(r0.levels, r1.levels):
         for f in ("domain_idx", "transform", "s", "o", "accepted"):
             np.testing.assert_array_equal(
                 np.asarray(getattr(l0, f)), np.asarray(getattr(l1, f)))
+    # the flat-short-circuit default is smaller still, with identical
+    # acceptance maps (implied-map coding is a pure bijection) and s == 0
+    # exactly on its flat leaves
+    flat = pack_quadtree(qres, plane=img)
+    assert len(flat) <= len(ent)
+    r2 = unpack_quadtree(flat)
+    for l1, l2 in zip(r1.levels, r2.levels):
+        np.testing.assert_array_equal(np.asarray(l1.accepted),
+                                      np.asarray(l2.accepted))
+        s2 = np.asarray(l2.s)
+        keep = s2 != 0.0
+        np.testing.assert_array_equal(np.asarray(l1.domain_idx)[keep],
+                                      np.asarray(l2.domain_idx)[keep])
 
 
 def test_bitstream_corruption_fuzz(lenna_y, rng):
