@@ -12,7 +12,15 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from gen_docs import DOCS, ROOT, _MARKER_RE, load_metrics, render_table
+from gen_docs import (
+    DOCS,
+    ROOT,
+    _AUX_MARKER_RE,
+    _MARKER_RE,
+    load_metrics,
+    render_aux_table,
+    render_table,
+)
 
 
 def main():
@@ -34,6 +42,14 @@ def main():
         if text[m.start():m.end()] != expected:
             bad.append(f"{doc}: bench table drifted from {src} — run "
                        "python scripts/gen_docs.py " + src)
+        for am in _AUX_MARKER_RE.finditer(text):
+            asrc = am.group(1)
+            if not os.path.exists(os.path.join(ROOT, asrc)):
+                bad.append(f"{doc}: aux src {asrc} does not exist")
+                continue
+            if text[am.start():am.end()] != render_aux_table(asrc):
+                bad.append(f"{doc}: aux table drifted from {asrc} — run "
+                           "python scripts/gen_docs.py")
     if bad:
         print("\n".join(bad), file=sys.stderr)
         return 1

@@ -39,6 +39,11 @@ _LABELS = {
     "bpp_512px_q5s7o": "512² rate @ 5-bit s / 7-bit o",
     "psnr_1024px_quadtree_q5s7o_db": "1024² quadtree PSNR @ 5/7-bit",
     "bpp_1024px_quadtree_q5s7o": "1024² quadtree rate @ 5/7-bit",
+    "psnr_1024px_quadtree_hq_db":
+        "1024² quadtree PSNR, hq point (6/7-bit, threshold 25)",
+    "bpp_1024px_quadtree_hq":
+        "1024² quadtree rate, hq point (6/7-bit, threshold 25)",
+    "encode_8192px_ms": "8192² encode (single chip)",
     "encode_throughput_512px_lenna_batch64": "512² encode, batched ×64",
     "encode_throughput_512px_lenna_batch16":
         "**HEADLINE**: 512² encode, batched ×16",
@@ -82,6 +87,55 @@ _MARKER_RE = re.compile(
     r"<!-- BENCH:START src=(\S+) -->.*?<!-- BENCH:END -->", re.DOTALL
 )
 
+# Generic measurement tables (rate-distortion curve, VQ tradeoff, ...):
+# a script under scripts/ writes a JSON {"title", "columns", "rows"} into
+# docs/, and the table in the doc is generated from it — same no-drift
+# contract as the BENCH tables, enforced by scripts/check_docs.py.
+_AUX_MARKER_RE = re.compile(
+    r"<!-- AUX:START src=(\S+) -->.*?<!-- AUX:END -->", re.DOTALL
+)
+
+
+def render_aux_table(src: str) -> str:
+    with open(os.path.join(ROOT, src)) as f:
+        data = json.load(f)
+    lines = [
+        f"<!-- AUX:START src={src} -->",
+        f"{data['title']} (generated from `{src}`; regenerate the JSON with "
+        f"`python {data['script']}` and the table with "
+        "`python scripts/gen_docs.py`):",
+        "",
+        "| " + " | ".join(data["columns"]) + " |",
+        "|" + "---|" * len(data["columns"]),
+    ]
+    for row in data["rows"]:
+        cells = [x if isinstance(x, str) else f"{x:g}" for x in row]
+        lines.append("| " + " | ".join(cells) + " |")
+    lines.append("<!-- AUX:END -->")
+    return "\n".join(lines)
+
+
+def regen_aux(doc_path: str) -> bool:
+    """Rewrite every AUX marker block in the doc from its named JSON."""
+    full = os.path.join(ROOT, doc_path)
+    with open(full) as f:
+        text = f.read()
+    changed = False
+    out = []
+    last = 0
+    for m in _AUX_MARKER_RE.finditer(text):
+        out.append(text[last:m.start()])
+        table = render_aux_table(m.group(1))
+        out.append(table)
+        changed = changed or table != text[m.start():m.end()]
+        last = m.end()
+    out.append(text[last:])
+    new = "".join(out)
+    if changed:
+        with open(full, "w") as f:
+            f.write(new)
+    return changed
+
 
 def regen_doc(doc_path: str, src: str | None) -> bool:
     """Rewrite the marker block. Returns True if the file changed."""
@@ -113,7 +167,9 @@ def main(argv):
         src = os.path.basename(benches[-1])
     for doc in DOCS:
         changed = regen_doc(doc, src)
-        print(f"{doc}: {'updated' if changed else 'unchanged'}")
+        aux_changed = regen_aux(doc)
+        state = "updated" if (changed or aux_changed) else "unchanged"
+        print(f"{doc}: {state}")
     return 0
 
 
