@@ -23,9 +23,9 @@ uniform histograms), so entropy coding never loses.  Code lengths are capped
 at 15 bits (JPEG-style adjustment) and the canonical reconstruction on the
 decode side depends only on the length table.
 
-The numpy implementation is the oracle; a C++ fast path for the
-symbol-serial decode loop lives in ``native/entropy.cpp`` (same pattern as
-``native/bitpack.cpp``).
+The numpy implementation is the oracle; the C++ fast path for the
+symbol-serial decode loop is ``ftc_huffman_decode`` in
+``native/bitpack.cpp`` (loaded via ``codec/native.py``).
 """
 from __future__ import annotations
 

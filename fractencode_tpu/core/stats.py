@@ -103,9 +103,13 @@ def quadrant_sums(plane: jnp.ndarray, grid: Grid, ii: jnp.ndarray | None = None,
         k = grid.step // half
         ny, nx = grid.ny, grid.nx
 
-        if k == 2 and bs.shape == (2 * ny, 2 * nx):
+        if k == 2 and bs.shape == (2 * ny, 2 * nx) and ny * nx <= 2048 ** 2:
             # non-overlapping grid: group the 2x2 quadrant cells with ONE
-            # reshape-transpose instead of four strided slices
+            # reshape-transpose instead of four strided slices.  Only up to
+            # 8K images: the [ny, 2, nx, 2] intermediate's tiled layout
+            # pads the minor dim 2 -> 128 (64x), which is 4.3 GB of HBM
+            # temp at 8192^2 and EXCEEDS the chip at 16384^2 — the strided
+            # picks below have no padded intermediate.
             g = bs.reshape(ny, 2, nx, 2).transpose(0, 2, 1, 3)
             return g.reshape(ny * nx, 4)
 

@@ -157,9 +157,25 @@ def extract_ranges(plane_f32: jnp.ndarray, target_size: int) -> jnp.ndarray:
 
     Row-major block order (x fastest) matches ``createUniformGrid``
     (``partition2.hpp:123-133``), so range index r = ry * (W//tw) + rx.
+
+    Lowering: at 16384^2 the reshape-transpose route materializes the
+    [H/tw, tw, W/tw, tw] intermediate in TPU tiled layout, whose minor
+    dims pad tw -> (8, 128) — a 32x blowup that EXCEEDS HBM (measured:
+    a 32 GB allocation for a 1 GB logical tensor).  Build column k of the
+    output with one strided slice instead (tw^2 slices, each [H/tw, W/tw]
+    with no padded intermediate; column-phase hoisting as in the decode
+    pool build).  Element selection identical.
     """
     h, w = plane_f32.shape
     tw = target_size
     assert h % tw == 0 and w % tw == 0, (h, w, tw)
-    x = plane_f32.reshape(h // tw, tw, w // tw, tw)
-    return x.transpose(0, 2, 1, 3).reshape(-1, tw * tw)
+    if h * w <= (8192 * 8192) or tw > 16:
+        x = plane_f32.reshape(h // tw, tw, w // tw, tw)
+        return x.transpose(0, 2, 1, 3).reshape(-1, tw * tw)
+    cols = [jax.lax.slice(plane_f32, (0, px), (h, w), (1, tw))
+            for px in range(tw)]
+    return jnp.stack(
+        [jax.lax.slice(cols[px], (py, 0), (h, w // tw), (tw, 1)).reshape(-1)
+         for py in range(tw) for px in range(tw)],
+        axis=1,
+    )

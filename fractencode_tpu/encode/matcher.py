@@ -273,24 +273,21 @@ def _classed_statics(r: int, m: int, cfg: EncoderConfig,
     block_m = min(DEFAULT_BM, _round_up(m, 128))
     r_pad = _round_up(r, block_r) + n_row_bins * block_r
     m_pad = _round_up(m, block_m) + n_col_bins * block_m
-    # the packed pair list stores the col-tile index in _CT_BITS bits
-    # (ops.matcher_pallas._pack_pairs); configs past ~32K images must fail
-    # loudly here instead of silently corrupting packed pairs
+    # The packed pair list stores the col-tile index in _CT_BITS bits
+    # (ops.matcher_pallas._pack_pairs).  Configs past that width (16K+
+    # images) route to the 2-D classed kernel instead — same selection
+    # semantics, no pair list (round 5; previously this asserted).
     from ..ops.matcher_pallas import _CT_BITS
 
-    assert m_pad // block_m < (1 << _CT_BITS), (
-        f"column tile count {m_pad // block_m} overflows the {_CT_BITS}-bit "
-        f"pair-list field (image too large for the classed kernel layout; "
-        f"shard the domain axis instead)"
-    )
+    use_pairs = m_pad // block_m < (1 << _CT_BITS)
     worst_pairs = (r_pad // block_r) * (m_pad // block_m) + r_pad // block_r
     p_cap = min(worst_pairs, PAIR_CAP)
-    return block_r, block_m, r_pad, m_pad, worst_pairs, p_cap
+    return block_r, block_m, r_pad, m_pad, worst_pairs, p_cap, use_pairs
 
 
 def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
                  domain_classes, cfg: EncoderConfig, domain_mask=None,
-                 range_mask=None):
+                 range_mask=None, force_no_pairs: bool = False):
     """Class-sorted layout + active-pair list (pure jnp, vmappable): every
     array the classed kernel consumes, plus the inverse maps post needs.
 
@@ -315,8 +312,10 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     r_masked = range_mask is not None
     n_col_bins = _NUM_CLASS_BINS + (1 if masked else 0)
     n_row_bins = _NUM_CLASS_BINS + (1 if r_masked else 0)
-    block_r, block_m, r_pad, m_pad, worst_pairs, p_cap = _classed_statics(
-        r, m, cfg, masked_domains=masked, masked_ranges=r_masked)
+    block_r, block_m, r_pad, m_pad, worst_pairs, p_cap, use_pairs = \
+        _classed_statics(r, m, cfg, masked_domains=masked,
+                         masked_ranges=r_masked)
+    use_pairs = use_pairs and not force_no_pairs
 
     rcls01 = (range_classes + 1).astype(jnp.int32)  # bins -1..5 -> 0..6
     dcls01 = (domain_classes + 1).astype(jnp.int32)
@@ -488,6 +487,20 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
     # loop (22.7 ms at 4096^2 where p_cap = 196608) while each spread is one
     # tiny scatter plus a [p_cap] prefix sum.  Segment starts are strictly
     # increasing (counts_eff >= 1), so scatter slots never collide.
+    if not use_pairs:
+        # 16K+: the col-tile index would overflow the packed pair-list
+        # field, so the kernel runs the 2-D classed grid instead — no pair
+        # list to build at all (classed_kernel routes on pairs is None)
+        return dict(
+            ranges_s=ranges_s, sa_s=sa_s, sa2_s=sa2_s,
+            cb_s=cb_s, sb_s=sb_s, aux_s=aux_s,
+            ai_s=ai_s, ch_s=ch_s, cl_s=cl_s, b4_cols=b4_cols,
+            pairs=None, n_pairs=jnp.int32(0),
+            tile_class=tile_class, col_tile_start=col_tile_start,
+            col_tile_count=col_tile_count, col_end=col_end,
+            rpos=rpos, inv_col=inv_col,
+        )
+
     counts_t = col_tile_count[tile_class]  # [nrt]
     counts_eff = jnp.maximum(counts_t, 1)
     off = jnp.concatenate(
@@ -577,6 +590,10 @@ def classed_kernel(prep: dict, k: int, domain_area: int, block_r: int,
             **common,
         )
 
+    if prep["pairs"] is None:
+        # 16K+ layout: the pair-list col-tile field would overflow, so the
+        # 2-D classed kernel is the only path (statically routed)
+        return _classed_path()
     if worst_pairs <= PAIR_CAP:
         # the pair list can always hold every pair: no fallback needed
         return _pairs_path()
@@ -701,7 +718,7 @@ def mask_ranges_result(res: SearchResult, range_mask: jnp.ndarray
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "interpret", "force_no_pairs"))
 def search_pallas_classed(
     ranges: jnp.ndarray,
     sum_a: jnp.ndarray,
@@ -713,6 +730,7 @@ def search_pallas_classed(
     domain_mask: jnp.ndarray | None = None,
     interpret: bool = False,
     range_mask: jnp.ndarray | None = None,
+    force_no_pairs: bool = False,
 ) -> SearchResult:
     """Class-blocked Pallas backend: the classifier's equality prune becomes
     a real FLOP reduction.  Ranges and codebook columns are laid out sorted
@@ -730,13 +748,13 @@ def search_pallas_classed(
     r, k = ranges.shape
     d, t, _ = cb.values.shape
     m = d * t
-    block_r, block_m, _, _, worst_pairs, p_cap = _classed_statics(
+    block_r, block_m, _, _, worst_pairs, p_cap, _ = _classed_statics(
         r, m, cfg, masked_domains=domain_mask is not None,
         masked_ranges=range_mask is not None)
 
     prep = classed_prep(ranges, sum_a, sum_a2, cb, range_classes,
                         domain_classes, cfg, domain_mask=domain_mask,
-                        range_mask=range_mask)
+                        range_mask=range_mask, force_no_pairs=force_no_pairs)
     dist_s, idx_s, q_s = classed_kernel(
         prep, k, cb.grid.block_size ** 2, block_r, block_m, p_cap,
         worst_pairs, cfg, interpret, t_n=t,

@@ -267,13 +267,23 @@ def encode_plane_quadtree(plane, cfg: EncoderConfig | None = None,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     interpret = jax.default_backend() != "tpu"
-    if reporter is None and not interpret:
-        # one-dispatch pyramid on real TPU (remote XLA:TPU compile handles
-        # the large fused program; XLA:CPU sporadically overflows its
-        # compile-pass stack on it, so CPU keeps per-level programs)
+    if reporter is None and not (backend == "pallas" and interpret):
+        # One-dispatch pyramid on every production backend (round-5
+        # un-fork; rounds 2-4 kept per-level programs on ALL of CPU).
+        # CPU + jnp — the backend every CPU user actually gets from
+        # backend="auto" — now compiles and runs the SAME fused program
+        # structure as TPU.  The one remaining per-level path is the
+        # test-only interpret-mode pallas oracle: its kernel expansion of
+        # the fused pyramid still crashes XLA:CPU in long-lived processes
+        # (SIGSEGV/SIGABRT inside backend_compile_and_load after ~a dozen
+        # prior compiles; a fresh process compiles the identical program
+        # cleanly — isolated in round 5, see docs/PERF_NOTES.md).  The
+        # fused-vs-per-level A/B equivalence is pinned by
+        # tests/test_quadtree.py, so the oracle still exercises the same
+        # selection semantics.
         levels = _encode_quadtree_fused(plane, cfg, qcfg, backend, interpret)
     else:
-        # per-level dispatch (and real progress boundaries for the reporter)
+        # per-level dispatch (real progress boundaries for the reporter)
         levels = _encode_quadtree_impl(plane, cfg, qcfg, backend, interpret,
                                        reporter=reporter)
     return QuadtreeResult(levels=levels, width=w, height=h)

@@ -473,8 +473,14 @@ def _classed_kernel(
 
     @pl.when(j == nj - 1)
     def _finalize():
-        q_out[:] = best_q[:]
-        idx_out[:] = best_idx[:]
+        # outputs are [NRT, BR] rows (one per range tile): a
+        # [r_pad, 1] column output takes the (8, 128) tiled
+        # layout's 128x lane padding in HBM — measured 8 GB of pure
+        # padding per output at 16384^2, which alone exceeded the
+        # chip.  The sublane->lane transpose runs once per row
+        # tile, off the per-step hot path.
+        q_out[:] = best_q[:].reshape(1, 1, -1)
+        idx_out[:] = best_idx[:].reshape(1, 1, -1)
 
 
 def _int8_operands(ranges_f32, cb_f32):
@@ -859,8 +865,8 @@ def fused_search_classed(
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((block_r, 1), lambda i, j, *s: (i, 0)),
-            pl.BlockSpec((block_r, 1), lambda i, j, *s: (i, 0)),
+            pl.BlockSpec((1, 1, block_r), lambda i, j, *s: (i, 0, 0)),
+            pl.BlockSpec((1, 1, block_r), lambda i, j, *s: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_r, 1), jnp.float32),
@@ -878,8 +884,8 @@ def fused_search_classed(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nrt, 1, block_r), jnp.float32),
+            jax.ShapeDtypeStruct((nrt, 1, block_r), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,

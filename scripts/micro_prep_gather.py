@@ -33,7 +33,7 @@ dcls = classify_grid(plane, dg)
 d, t, k = cb.values.shape
 m = d * t
 r = (h // cfg.target_size) * (w // cfg.target_size)
-block_r, block_m, r_pad, m_pad, worst_pairs, p_cap = _classed_statics(r, m, cfg)
+block_r, block_m, r_pad, m_pad, worst_pairs, p_cap, _ = _classed_statics(r, m, cfg)
 
 ccls01 = jnp.repeat((dcls + 1).astype(jnp.int32), t)
 cpos, c_seg_start, c_counts, _ = _class_layout(ccls01, block_m, _NUM_CLASS_BINS)

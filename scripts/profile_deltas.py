@@ -71,7 +71,7 @@ def pipeline(p, upto: str):
                          prep["pairs"], prep["rpos"], prep["inv_col"])
     r, _ = ranges.shape
     d, t, _ = cb.values.shape
-    block_r, block_m, _, _, worst_pairs, p_cap = _classed_statics(r, d * t, cfg)
+    block_r, block_m, _, _, worst_pairs, p_cap, _ = _classed_statics(r, d * t, cfg)
     dist_s, idx_s, q_s = classed_kernel(prep, K, cfg.source_size ** 2, block_r,
                                         block_m, p_cap, worst_pairs, cfg, False)
     if upto == "kernel":

@@ -88,7 +88,7 @@ def post_variant(p, upto):
     r, _ = ranges.shape
     d, t, _ = cb.values.shape
     m = d * t
-    block_r, block_m, _, _, worst_pairs, p_cap = _classed_statics(r, m, cfg)
+    block_r, block_m, _, _, worst_pairs, p_cap, _ = _classed_statics(r, m, cfg)
     dist_s, idx_s, q_s = classed_kernel(prep, K, cfg.source_size ** 2, block_r,
                                         block_m, p_cap, worst_pairs, cfg, False)
     if upto == "kernel":

@@ -76,7 +76,7 @@ dcls, rcls = timed("classify", stage_classify, plane)
 r, k = ranges.shape
 d, t, _ = cb.values.shape
 m = d * t
-block_r, block_m, r_pad, m_pad, worst_pairs, p_cap = _classed_statics(r, m, cfg)
+block_r, block_m, r_pad, m_pad, worst_pairs, p_cap, _ = _classed_statics(r, m, cfg)
 
 prep_jit = jax.jit(
     lambda rg, sa, sa2, c, rc, dc: classed_prep(rg, sa, sa2, c, rc, dc, cfg)

@@ -53,7 +53,7 @@ dcls, rcls = jax.jit(classify)(batch[0])
 r, k = ranges.shape
 d, t, _ = cb.values.shape
 m = d * t
-block_r, block_m, r_pad, m_pad, worst_pairs, p_cap = _classed_statics(r, m, cfg)
+block_r, block_m, r_pad, m_pad, worst_pairs, p_cap, _ = _classed_statics(r, m, cfg)
 
 def rep16(x):
     return jax.tree_util.tree_map(lambda a: jnp.stack([a] * B), x)

@@ -12,11 +12,16 @@ import os
 # wins over both the env var and any sitecustomize registration.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
-# XLA:CPU compile passes recurse deeply on large fused programs (the batch /
-# fused quadtree pyramids); the default 8 MB main-thread stack overflows
-# sporadically (observed: SIGSEGV/SIGABRT inside backend_compile_and_load at
-# ~40% of the suite).  The hard limit is unlimited here, so raise the soft
-# limit before any compile runs.
+# Upstream XLA:CPU issue: compile passes recurse deeply on the large fused
+# programs (the one-dispatch quadtree pyramid, batch lax.map bodies) and the
+# process aborts inside backend_compile_and_load — but ONLY after many
+# compilations in one process.  Round-5 isolation attempts: the same
+# programs (512^2/1024^2 fused pyramid, jnp and interpret-pallas backends,
+# 8 virtual devices) compile cleanly every time in a fresh process with the
+# default 8 MB stack; running tests/test_quadtree.py in one pytest process
+# aborts at ~the 12th compile without this raise.  CPU and TPU run the SAME
+# program structure (quadtree.py round-5 un-fork); this rlimit raise is a
+# test-rig workaround for the upstream compiler, not a program fork.
 import resource
 
 _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)

@@ -257,13 +257,33 @@ def test_classed_statics_8k_fits_and_guard_still_fires():
     cfg = EncoderConfig()
     for side in (4096, 8192):
         d = ((side - 16) // 8 + 1) ** 2
-        block_r, block_m, r_pad, m_pad, _, _ = _classed_statics(
+        block_r, block_m, r_pad, m_pad, _, _, use_pairs = _classed_statics(
             (side // 4) ** 2, d * 4, cfg
         )
+        assert use_pairs
         # the packed i32 must stay positive: rt occupies the top bits
         assert (r_pad // block_r) < (1 << (31 - _RT_SHIFT))
-    # 16K overflows the 12-bit col-tile field and must raise
+    # 16K overflows the 12-bit col-tile field: statics route to the 2-D
+    # classed kernel instead of asserting (round 5)
     side = 16384
     d = ((side - 16) // 8 + 1) ** 2
-    with pytest.raises(AssertionError, match="pair-list field"):
-        _classed_statics((side // 4) ** 2, d * 4, cfg)
+    *_, use_pairs = _classed_statics((side // 4) ** 2, d * 4, cfg)
+    assert not use_pairs
+
+
+def test_no_pairs_route_matches_pairs(rng):
+    """The 16K routing decision (2-D classed kernel, no pair list) must be
+    bit-identical to the pair-list path — exercised at a small size via
+    force_no_pairs so the route itself is testable on CPU."""
+    from fractencode_tpu.encode.matcher import search_pallas_classed
+
+    cfg = EncoderConfig()
+    args = _setup(rng, 64, cfg)
+    ranges, sum_a, sum_a2, cb, rcls, dcls = args
+    a = search_pallas_classed(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
+                              interpret=True)
+    b = search_pallas_classed(ranges, sum_a, sum_a2, cb, rcls, dcls, cfg,
+                              interpret=True, force_no_pairs=True)
+    for f in ("domain_idx", "transform", "distance", "s", "o", "valid"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)))

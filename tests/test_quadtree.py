@@ -256,6 +256,15 @@ def test_coverage_mask_leaves_bit_identical(lenna_y):
     pallas (interpret) classed kernel."""
     import dataclasses
 
+    import jax
+
+    # The interpret-pallas quadtree programs below are the largest compiles
+    # in the suite; XLA:CPU crashes compiling them once enough JIT state has
+    # accumulated in the process (see conftest._clear_jax_caches_between_
+    # modules — same resource limit, which round 5's extra pyramid-decode
+    # compiles now reach mid-module).  Start them from a clean cache.
+    jax.clear_caches()
+
     img = np.asarray(lenna_y)[128:256, 128:256]
     qcfg_on = QuadtreeConfig(min_size=4, max_size=16, error_threshold=50.0)
     qcfg_off = dataclasses.replace(qcfg_on, mask_covered=False)
@@ -289,3 +298,27 @@ def test_coverage_mask_oracle_vs_pallas(lenna_y):
             np.testing.assert_array_equal(
                 np.asarray(getattr(lj, f)), np.asarray(getattr(lp, f)),
                 err_msg=f"{lp.range_size}px {f}")
+
+
+def test_fused_pyramid_matches_per_level(lenna_y):
+    """The one-dispatch fused pyramid (the production program structure on
+    every backend since round 5) must be bit-identical to the per-level
+    dispatch path (which the progress reporter and the interpret-pallas
+    oracle still use)."""
+    from fractencode_tpu.encode.quadtree import (
+        _encode_quadtree_fused,
+        _encode_quadtree_impl,
+    )
+    import jax.numpy as jnp
+
+    img = jnp.asarray(np.asarray(lenna_y)[128:256, 128:256])
+    cfg = EncoderConfig()
+    qcfg = QuadtreeConfig(min_size=4, max_size=16, error_threshold=50.0)
+    fused = _encode_quadtree_fused(img, cfg, qcfg, "jnp", True)
+    eager = _encode_quadtree_impl(img, cfg, qcfg, "jnp", True)
+    assert len(fused) == len(eager)
+    for lf, le in zip(fused, eager):
+        for f in ("domain_idx", "transform", "s", "o", "accepted"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(lf, f)), np.asarray(getattr(le, f)),
+                err_msg=f"{lf.range_size}px {f}")
