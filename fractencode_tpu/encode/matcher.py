@@ -353,11 +353,11 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
         )
         c_seg_start = d_seg_start * t
         c_counts = d_counts * t
-        inv_col = jnp.where(
-            (inv_dom == d)[:, None],
-            m,
-            inv_dom[:, None] * t + jnp.arange(t, dtype=jnp.int32)[None, :],
-        ).reshape(m_pad)
+        # inv_col is implied arithmetically by inv_dom (inv_col[c] =
+        # inv_dom[c//T]*T + c%T, masked to m): materializing the [m_pad]
+        # array + gathering it in post measured 49 + 89 us/frame at 512^2
+        # — classed_post computes the winner's column from inv_dom instead
+        inv_col = None
     else:
         ccls01 = jnp.repeat(dcls01, t)
         cpos, c_seg_start, c_counts, _ = _class_layout(
@@ -498,7 +498,7 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
             pairs=None, n_pairs=jnp.int32(0),
             tile_class=tile_class, col_tile_start=col_tile_start,
             col_tile_count=col_tile_count, col_end=col_end,
-            rpos=rpos, inv_col=inv_col,
+            rpos=rpos, inv_col=inv_col, inv_dom=inv_dom,
         )
 
     counts_t = col_tile_count[tile_class]  # [nrt]
@@ -536,7 +536,7 @@ def classed_prep(ranges, sum_a, sum_a2, cb: Codebook, range_classes,
         pairs=pairs, n_pairs=n_pairs,
         tile_class=tile_class, col_tile_start=col_tile_start,
         col_tile_count=col_tile_count, col_end=col_end,
-        rpos=rpos, inv_col=inv_col,
+        rpos=rpos, inv_col=inv_col, inv_dom=inv_dom,
     )
 
 
@@ -603,7 +603,8 @@ def classed_kernel(prep: dict, k: int, domain_area: int, block_r: int,
 
 
 def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
-                 cb: Codebook, cfg: EncoderConfig, b4_cols=None) -> SearchResult:
+                 cb: Codebook, cfg: EncoderConfig, b4_cols=None,
+                 inv_dom=None) -> SearchResult:
     """Map sorted-layout kernel outputs back to original range order and
     solve (s, o) for the winners (pure jnp, vmappable).
 
@@ -614,7 +615,8 @@ def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
     r, k = ranges.shape
     d, t, _ = cb.values.shape
     m = d * t
-    m_pad = inv_col.shape[0]
+    m_pad = (inv_col.shape[0] if inv_col is not None
+             else inv_dom.shape[0] * t)
 
     # ONE [r_pad, 2-3] row gather unsorts every kernel output (f32 columns
     # bitcast to i32 ride alongside idx) — separate [R] scalar gathers were
@@ -647,7 +649,15 @@ def classed_post(dist_s, idx_s, q_s, rpos, inv_col, ranges, sum_a, sum_a2,
         q_r = key_r
         dist = jax.lax.bitcast_convert_type(packed_out[:, 2], jnp.float32)
     valid = dist < _BIG
-    win_m = jnp.where(valid, inv_col[jnp.clip(win_sorted, 0, m_pad - 1)], 0)
+    ws = jnp.clip(win_sorted, 0, m_pad - 1)
+    if inv_dom is not None:
+        # the sorted->original column map is domain-major: column c holds
+        # domain inv_dom[c // T], isometry column c % T (masked slots -> m)
+        wd = inv_dom[ws // t]
+        wcol = jnp.where(wd == d, m, wd * t + ws % t)
+    else:
+        wcol = inv_col[ws]
+    win_m = jnp.where(valid, wcol, 0)
     win_m = jnp.clip(win_m, 0, m - 1)
     win_d = win_m // t
     win_t = (t - 1) - (win_m % t)
@@ -761,7 +771,7 @@ def search_pallas_classed(
     )
     res = classed_post(dist_s, idx_s, q_s, prep["rpos"], prep["inv_col"],
                        ranges, sum_a, sum_a2, cb, cfg,
-                       b4_cols=prep["b4_cols"])
+                       b4_cols=prep["b4_cols"], inv_dom=prep["inv_dom"])
     if range_mask is not None:
         res = mask_ranges_result(res, range_mask)
     return res

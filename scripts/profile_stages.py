@@ -92,7 +92,7 @@ dist_idx = timed("kernel", kern_jit, prep)
 post_jit = jax.jit(
     lambda di, pr, rg, sa, sa2, c: classed_post(
         di[0], di[1], di[2], pr["rpos"], pr["inv_col"], rg, sa, sa2, c, cfg,
-        b4_cols=pr["b4_cols"])
+        b4_cols=pr["b4_cols"], inv_dom=pr["inv_dom"])
 )
 timed("post", post_jit, dist_idx, prep, ranges, sum_a, sum_a2, cb)
 

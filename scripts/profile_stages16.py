@@ -67,8 +67,9 @@ kern16 = timed("kernel", jax.jit(lambda pr: jax.lax.map(
                              p_cap, worst_pairs, cfg, False), pr)), prep16)
 
 post_in = (kern16[0], kern16[1], kern16[2], prep16["rpos"],
-           prep16["inv_col"], args16[0], args16[1], args16[2], args16[3],
+           prep16["inv_dom"], args16[0], args16[1], args16[2], args16[3],
            prep16["b4_cols"])
 timed("post", jax.jit(lambda a: jax.lax.map(
-    lambda xs: classed_post(xs[0], xs[1], xs[2], xs[3], xs[4], xs[5], xs[6],
-                            xs[7], xs[8], cfg, b4_cols=xs[9]), a)), post_in)
+    lambda xs: classed_post(xs[0], xs[1], xs[2], xs[3], None, xs[5], xs[6],
+                            xs[7], xs[8], cfg, b4_cols=xs[9],
+                            inv_dom=xs[4]), a)), post_in)
