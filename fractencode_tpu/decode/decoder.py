@@ -388,23 +388,34 @@ def _decode_core(result: EncodeResult, dcfg: DecoderConfig):
     if dcfg.pyramid:
         pi = _pyramid_init(result, s, o, dcfg)
         if pi is not None:
-            # fixed-count full-res refinement: the pyramid start is a few
-            # contraction steps from the fixed point, and the relative-
-            # improvement patience loop cannot see that (it counts
-            # improvements relative to the best seen, so a near-converged
-            # start still pays the full patience window).  Measured:
-            # PSNR saturates at 4-5 steps from this start
-            # (scripts/measure_pyramid_steps.py); the exit heuristics below
-            # would run 2-4x longer for <=0.01 dB.
+            # Fixed-count full-res refinement.  Measured
+            # (docs/PERF_NOTES.md round 5): PSNR saturates at 4-5 steps
+            # from the pyramid start on natural content, while the
+            # inter-iterate MSE keeps contracting geometrically (ratio
+            # ~0.5-0.85/step) essentially forever — so NO stall margin can
+            # tell the PSNR-irrelevant tail from real refinement, and any
+            # continuation pays ~9 extra steps on every natural image.
+            # The one measured case that iterates usefully past the floor
+            # is knife-edge synthetic content (pure ramps) whose
+            # pre-truncation values sit exactly on integer boundaries;
+            # there the u8 fixed point is non-unique anyway and the
+            # pyramid may land on a +-1-gray alternate rendering of the
+            # flat path's (tests/test_roundtrip.py content matrix).
+            # ``pyramid=False`` remains the fully-converged mode.
             def fstep(i, carry):
                 img, _ = carry
                 return step(img), img
 
-            img, prev = jax.lax.fori_loop(
+            img0, prev0 = jax.lax.fori_loop(
                 0, dcfg.pyramid_full_steps, fstep, (pi, pi))
-            d = img.astype(jnp.float32) - prev.astype(jnp.float32)
-            mse = jnp.sum(d * d) / (h * w)
-            return img, jnp.int32(dcfg.pyramid_full_steps), mse
+            d0 = img0.astype(jnp.float32) - prev0.astype(jnp.float32)
+            mse0 = jnp.sum(d0 * d0) / (h * w)
+            return img0, jnp.int32(dcfg.pyramid_full_steps), mse0
+
+    # prev starts unequal to any first iterate (init ^ 1 flips every pixel)
+    carry0 = (init, init ^ jnp.uint8(1), jnp.int32(0),
+              jnp.float32(jnp.inf), jnp.bool_(False),
+              jnp.float32(jnp.inf), jnp.int32(0))
 
     def cond(carry):
         img, prev, steps, mse, done, best, since = carry
@@ -436,12 +447,7 @@ def _decode_core(result: EncodeResult, dcfg: DecoderConfig):
         return (nxt, img, steps + 1, mse,
                 (mse < dcfg.epsilon) | cycle | stalled, best, since)
 
-    # prev starts unequal to any first iterate (init ^ 1 flips every pixel)
-    img, _, steps, mse, done, _, _ = jax.lax.while_loop(
-        cond, body,
-        (init, init ^ jnp.uint8(1), jnp.int32(0), jnp.float32(jnp.inf),
-         jnp.bool_(False), jnp.float32(jnp.inf), jnp.int32(0)),
-    )
+    img, _, steps, mse, done, _, _ = jax.lax.while_loop(cond, body, carry0)
     iterations = jnp.where(done, steps - 1, steps)
     return img, iterations, mse
 

@@ -531,18 +531,25 @@ def _decode_quadtree_loop(levels, h: int, w: int, dcfg: DecoderConfig):
         pi = _pyramid_init_quadtree(levels, h, w, dcfg)
         if pi is not None:
             # fixed-count full-res refinement from the near-converged
-            # pyramid start (see decode.decoder._decode_core)
+            # pyramid start (see decode.decoder._decode_core for the
+            # measured rationale: PSNR saturates at the floor; any
+            # convergence-based continuation pays ~9 extra steps on every
+            # natural image because the inter-iterate MSE contracts
+            # geometrically forever)
             def fstep(i, carry):
                 img, _ = carry
                 return step(img), img
 
-            img, prev = jax.lax.fori_loop(
+            img0, prev0 = jax.lax.fori_loop(
                 0, dcfg.pyramid_full_steps, fstep, (pi, pi))
-            d = img.astype(jnp.float32) - prev.astype(jnp.float32)
-            mse = jnp.sum(d * d) / (h * w)
-            return img, jnp.int32(dcfg.pyramid_full_steps), mse
+            d0 = img0.astype(jnp.float32) - prev0.astype(jnp.float32)
+            mse0 = jnp.sum(d0 * d0) / (h * w)
+            return img0, jnp.int32(dcfg.pyramid_full_steps), mse0
 
     init = jnp.full((h, w), dcfg.initial_value, dtype=jnp.uint8)
+    carry0 = (init, init ^ jnp.uint8(1), jnp.int32(0),
+              jnp.float32(jnp.inf), jnp.bool_(False),
+              jnp.float32(jnp.inf), jnp.int32(0))
 
     def cond(c):
         return (c[2] < dcfg.max_iterations) & ~c[4]
@@ -564,11 +571,7 @@ def _decode_quadtree_loop(levels, h: int, w: int, dcfg: DecoderConfig):
         return (nxt, img, steps + 1, mse,
                 (mse < dcfg.epsilon) | cycle | stalled, best, since)
 
-    img, _, steps, mse, done, _, _ = jax.lax.while_loop(
-        cond, body,
-        (init, init ^ jnp.uint8(1), jnp.int32(0), jnp.float32(jnp.inf),
-         jnp.bool_(False), jnp.float32(jnp.inf), jnp.int32(0)),
-    )
+    img, _, steps, mse, done, _, _ = jax.lax.while_loop(cond, body, carry0)
     return img, jnp.where(done, steps - 1, steps), mse
 
 

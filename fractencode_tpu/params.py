@@ -140,11 +140,18 @@ class DecoderConfig:
     pyramid_levels: int = 1
     # Full-res iterations after the pyramid init.  Measured (scripts/
     # measure_pyramid_steps.py): PSNR saturates after 4-5 full-res steps
-    # from the pyramid start (vs ~9 from flat), and the stall-window
-    # patience loop would keep iterating 2-4x longer for <=0.01 dB.  With
-    # ``pyramid=True`` the decoder runs exactly this many full-res steps
-    # (a lax.fori_loop — no per-step convergence bookkeeping) and reports
-    # it as the iteration count.
+    # from the pyramid start (vs ~9 from flat) on natural images, while
+    # the inter-iterate MSE keeps contracting geometrically (~0.5-0.85 per
+    # step) essentially forever — so a convergence-based continuation
+    # cannot tell the PSNR-irrelevant tail apart and measurably pays ~9
+    # extra steps per decode (tried and reverted in round 5).  With
+    # ``pyramid=True`` the decoder therefore runs exactly this many
+    # full-res steps and reports it as the iteration count.  On knife-edge
+    # synthetic content whose pre-truncation values sit on integer
+    # boundaries, the result can be a +-1-gray alternate rendering of the
+    # flat path's fixed point (both are exact fixed points of the map;
+    # tests/test_roundtrip.py content matrix) — use ``pyramid=False`` for
+    # the fully-converged reference-semantics mode.
     pyramid_full_steps: int = 6
 
 

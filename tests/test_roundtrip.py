@@ -287,3 +287,54 @@ def test_pyramid_decode_odd_geometry_falls_back():
     assert np.asarray(out_p).shape == img.shape
     p = float(psnr(img, np.asarray(out_p)))
     assert p > 20.0, p
+
+
+def _content_matrix(n=128):
+    """Non-Lenna content: seeded noise, smooth ramp, hard structure."""
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (n, n), np.uint8)
+    ys, xs = np.mgrid[0:n, 0:n].astype(np.float64)
+    ramp = ((xs + ys) * 255 / (2 * n - 2)).astype(np.uint8)
+    checker = (((xs // 8).astype(int) ^ (ys // 8).astype(int)) & 1) * 200 + 30
+    structured = np.clip(checker + xs * 0.2, 0, 255).astype(np.uint8)
+    return {"noise": noise, "ramp": ramp, "structured": structured}
+
+
+def test_pyramid_decode_content_matrix():
+    """The pyramid fast path's step counts were tuned on the Lenna
+    fixtures; guard them on content with very different statistics.
+
+    Pass criteria: PSNR parity with the flat start, OR the outputs differ
+    only by +-1 gray per pixel.  The latter covers knife-edge synthetic
+    content (the pure ramp): its pre-truncation values land exactly on
+    integer boundaries, so u8-truncation fixed points are non-unique and
+    which one an init basin reaches is decided by 1-ulp rounding — both
+    renderings are exact fixed points of the map (measured: the same ramp
+    decodes to either on CPU vs TPU).  What this test must still catch is
+    genuine non-convergence (e.g. the pre-continuation fixed-step bug,
+    which left the ramp 33 dB short with multi-gray errors)."""
+    for name, img in _content_matrix().items():
+        res = encode_plane(img, EncoderConfig())
+        out_f, _, _ = decode_plane(res, DecoderConfig())
+        out_p, _, _ = decode_plane(res, DecoderConfig(pyramid=True))
+        p_f = float(psnr(img, np.asarray(out_f)))
+        p_p = float(psnr(img, np.asarray(out_p)))
+        d = np.abs(np.asarray(out_p).astype(int) - np.asarray(out_f).astype(int))
+        assert p_p > p_f - 0.1 or int(d.max()) <= 1, (name, p_p, p_f, d.max())
+
+
+def test_flat_short_circuit_content_matrix():
+    """The flat-block threshold (0.35 buckets) was tuned on Lenna; its
+    error-neutrality must hold on other content too."""
+    from fractencode_tpu.codec import pack_result, unpack_result
+
+    for name, img in _content_matrix().items():
+        res = encode_plane(img, EncoderConfig())
+        blob_off = pack_result(res, plane=img, flat_scale=0.0)
+        blob_on = pack_result(res, plane=img)
+        assert len(blob_on) <= len(blob_off), name
+        out_off, _, _ = decode_plane(unpack_result(blob_off))
+        out_on, _, _ = decode_plane(unpack_result(blob_on))
+        p_off = float(psnr(img, np.asarray(out_off)))
+        p_on = float(psnr(img, np.asarray(out_on)))
+        assert p_on > p_off - 0.05, (name, p_on, p_off)
