@@ -651,11 +651,13 @@ def encode_plane_sharded_image(plane, cfg: EncoderConfig, mesh: Mesh,
 
 @functools.partial(jax.jit, static_argnames=("mesh", "max_iterations", "epsilon",
                                              "initial_value", "stall_window",
-                                             "stall_rtol"))
+                                             "stall_rtol", "pyramid"))
 def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
                        max_iterations: int, epsilon: float, initial_value: int,
-                       stall_window: int, stall_rtol: float = 0.02):
-    from ..decode.decoder import _build_indices, _decode_step
+                       stall_window: int, stall_rtol: float = 0.02,
+                       pyramid: bool = False):
+    from ..decode.decoder import _build_indices, _decode_step, _pyramid_init
+    from ..params import DecoderConfig
 
     h, w = template.height, template.width
 
@@ -681,6 +683,28 @@ def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
             idx = _build_indices(res)
             ss = jnp.where(v1, s1, 0.0)
             oo = jnp.where(v1, o1, 0.0)
+            if pyramid:
+                # the coarse-to-fine fast path at pod scale: same fixed
+                # floor as decode.decoder._decode_core (semantics and
+                # measured rationale there); the init derives from the
+                # data-varying maps, so no pcast is needed
+                dcfg = DecoderConfig(
+                    pyramid=True, max_iterations=max_iterations,
+                    epsilon=epsilon, initial_value=initial_value,
+                    stall_window=stall_window, stall_rtol=stall_rtol)
+                pi = _pyramid_init(res, ss, oo, dcfg)
+                if pi is not None:
+                    def fstep(i, c):
+                        img, _ = c
+                        nxt = _decode_step(img, idx, ss, oo, h, w,
+                                           template.target_size)
+                        return nxt, img
+
+                    img0, prev0 = jax.lax.fori_loop(
+                        0, dcfg.pyramid_full_steps, fstep, (pi, pi))
+                    d0 = img0.astype(jnp.float32) - prev0.astype(jnp.float32)
+                    mse0 = jnp.sum(d0 * d0) / (h * w)
+                    return (img0, jnp.int32(dcfg.pyramid_full_steps), mse0)
             init = jnp.full((h, w), initial_value, dtype=jnp.uint8)
 
             def cond(c):
@@ -732,8 +756,11 @@ def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
 def decode_batch_sharded(results: list[EncodeResult], mesh: Mesh,
                          max_iterations: int = 300, epsilon: float = 1e-5,
                          initial_value: int = 100, stall_window: int = 8,
-                         stall_rtol: float = 0.02):
+                         stall_rtol: float = 0.02, pyramid: bool = False):
     """Decode a batch of encodes data-parallel across the mesh.
+
+    ``pyramid=True`` uses the coarse-to-fine fast path (see
+    ``DecoderConfig.pyramid``) inside every shard.
 
     Returns ([B, H, W] u8 images, [B] iterations, [B] final mse).
     """
@@ -751,4 +778,5 @@ def decode_batch_sharded(results: list[EncodeResult], mesh: Mesh,
         initial_value,
         stall_window,
         stall_rtol,
+        pyramid,
     )

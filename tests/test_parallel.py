@@ -136,6 +136,23 @@ def test_sharded_decode_matches_single_device(rng, devices_ok):
         np.testing.assert_array_equal(np.asarray(outs[i]), np.asarray(out))
 
 
+def test_sharded_decode_pyramid_matches_single_device(rng, devices_ok):
+    """The coarse-to-fine fast path inside every shard must match
+    decode_plane's pyramid mode bit-for-bit (same init, same fixed floor)."""
+    from fractencode_tpu.params import DecoderConfig
+
+    cfg = EncoderConfig()
+    imgs = _images(rng, b=2, n=64)
+    mesh = make_mesh(n_data=2, n_search=4)
+    results = encode_batch_sharded(imgs, cfg, mesh)
+    outs, iters, _ = decode_batch_sharded(results, mesh, pyramid=True)
+    for i in range(2):
+        single = encode_plane(imgs[i], cfg)
+        out, it, _ = decode_plane(single, DecoderConfig(pyramid=True))
+        np.testing.assert_array_equal(np.asarray(outs[i]), np.asarray(out))
+        assert int(iters[i]) == int(it)
+
+
 def test_mesh_shapes(devices_ok):
     mesh = make_mesh(n_data=2, n_search=4)
     assert mesh.shape == {"data": 2, "search": 4}
