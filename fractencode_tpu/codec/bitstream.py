@@ -117,14 +117,59 @@ def _o_reconstruct(deltas: np.ndarray, row_len: int) -> np.ndarray:
     return np.cumsum(d)
 
 
+def _encode_dom(dom, d_bits: int) -> bytes:
+    """Domain-index field: JOINT range-coded stream vs byte-plane Huffman,
+    whichever is smaller.
+
+    The byte-planar split costs the cross-byte correlation (measured ~0.7
+    bits/item at 512^2: planes 11.90 vs joint H 11.23); the adaptive range
+    coder's bit tree models the full 2**d_bits alphabet directly.  The
+    decoder distinguishes the forms by the first stream's mode byte and
+    the mode-2 frame's nbits field (joint streams carry nbits == d_bits;
+    a byte plane that happens to win range coding carries nbits == 8, and
+    at d_bits == 8 the two coincide exactly)."""
+    from .entropy import _RC_MAX_NBITS, encode_stream, encode_uint_stream
+
+    nb = (d_bits + 7) // 8
+    dom64 = dom.astype(np.uint64)
+    planes = b"".join(
+        encode_stream(((dom64 >> (8 * j)) & 0xFF).astype(np.uint8))
+        for j in range(nb)
+    )
+    if len(dom) >= 64 and 1 <= d_bits <= _RC_MAX_NBITS:
+        joint = encode_uint_stream(dom.astype(np.uint32), d_bits)
+        if len(joint) < len(planes):
+            return joint
+    return planes
+
+
+def _decode_dom(data: bytes, offset: int, n_code: int, d_bits: int):
+    """Mirror of ``_encode_dom``: peek the first stream's framing to pick
+    the joint or byte-plane form."""
+    from .entropy import decode_stream, decode_uint_stream
+
+    if (len(data) >= offset + 6 and data[offset] == 2
+            and data[offset + 5] == d_bits):
+        vals, offset = decode_uint_stream(data, offset, expect_count=n_code,
+                                          expect_nbits=d_bits)
+        return vals.astype(np.uint64), offset
+    nb = (d_bits + 7) // 8
+    dom = np.zeros(n_code, np.uint64)
+    for j in range(nb):
+        plane, offset = decode_stream(data, offset, expect_count=n_code)
+        dom |= plane.astype(np.uint64) << (8 * j)
+    return dom, offset
+
+
 def _entropy_pack_fields(dom, tr, s_q, o_q, valid, d_bits,
                          row_len: int = 0, flat=None,
                          flat_sym: int = 0) -> bytes:
     """Per-field entropy streams: validity bitmask (raw bytes, framed),
-    domain byte planes (raw values — winners are spatially uncorrelated,
-    delta AND locality-recentered coding both measurably hurt, see
-    docs/PERF_NOTES.md round 5), transform, s_q, and zigzag prediction
-    residuals of o_q.
+    the domain-index field (raw values — winners are spatially
+    uncorrelated, delta AND locality-recentered coding both measurably
+    hurt, docs/PERF_NOTES.md round 5 — coded as a joint range stream or
+    byte-plane Huffman, see ``_encode_dom``), transform, s_q, and zigzag
+    prediction residuals of o_q (a >8-bit range stream when o_bits == 8).
 
     ``flat`` ([n] bool or None): flat-short-circuit mask.  When given, the
     s stream comes FIRST and marks flat items with ``flat_sym``; the domain
@@ -141,15 +186,21 @@ def _entropy_pack_fields(dom, tr, s_q, o_q, valid, d_bits,
         keep = ~flat
         dom = dom[keep]
         tr = tr[keep]
-    nb = (d_bits + 7) // 8
-    dom64 = dom.astype(np.uint64)
-    for j in range(nb):
-        parts.append(encode_stream(((dom64 >> (8 * j)) & 0xFF).astype(np.uint8)))
+    parts.append(_encode_dom(dom, d_bits))
     parts.append(encode_stream(tr.astype(np.uint8)))
     if flat is None:
         parts.append(encode_stream(s_q.astype(np.uint8)))
     od = zigzag(_o_predict_deltas(o_q, row_len))
-    parts.append(encode_stream(od.astype(np.uint8)))
+    if od.size and int(od.max()) > 255:
+        # wide o quantizers (o_bits == 8): the zigzag residuals exceed the
+        # byte alphabet — a joint range-coded stream covers them (the
+        # decoder dispatches on the mode-2 frame's nbits != 8)
+        from .entropy import encode_uint_stream
+
+        parts.append(encode_uint_stream(od.astype(np.uint32),
+                                        int(od.max()).bit_length()))
+    else:
+        parts.append(encode_stream(od.astype(np.uint8)))
     return b"".join(parts)
 
 
@@ -173,15 +224,17 @@ def _entropy_unpack_fields(data: bytes, offset: int, n: int, d_bits: int,
         n_code = int((~flat).sum())
     else:
         n_code = n
-    nb = (d_bits + 7) // 8
-    dom_c = np.zeros(n_code, np.uint64)
-    for j in range(nb):
-        plane, offset = decode_stream(data, offset, expect_count=n_code)
-        dom_c |= plane.astype(np.uint64) << (8 * j)
+    dom_c, offset = _decode_dom(data, offset, n_code, d_bits)
     tr_c, offset = decode_stream(data, offset, expect_count=n_code)
     if flat_sym is None:
         s_q, offset = decode_stream(data, offset, expect_count=n)
-    od, offset = decode_stream(data, offset, expect_count=n)
+    if (len(data) >= offset + 6 and data[offset] == 2
+            and data[offset + 5] != 8):
+        from .entropy import decode_uint_stream
+
+        od, offset = decode_uint_stream(data, offset, expect_count=n)
+    else:
+        od, offset = decode_stream(data, offset, expect_count=n)
     o_q = _o_reconstruct(unzigzag(od.astype(np.uint32)), row_len)
     if flat is not None:
         dom = np.zeros(n, np.uint64)
@@ -272,9 +325,10 @@ def pack_result(
         (_FLAG_O_IS_MEAN if o_is_mean else 0)
         | (getattr(result, "num_transforms", 8) << _NT_SHIFT)
     )
-    # entropy-coded payload (zigzag o-delta needs o_bits <= 7, s in a byte);
-    # keep whichever representation is smaller — entropy never loses
-    if entropy and s_bits <= 8 and o_bits <= 7 and len(valid):
+    # entropy-coded payload (s in a byte; o up to 8 bits — wider o-deltas
+    # ride the mode-2 range coder); keep whichever representation is
+    # smaller — entropy never loses
+    if entropy and s_bits <= 8 and o_bits <= 8 and len(valid):
         all_valid = bool(valid.all())
         row_len = result.width // result.target_size
         e_payload = _entropy_pack_fields(dom, tr, s_q, o_q, valid, d_bits,

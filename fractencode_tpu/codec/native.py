@@ -15,7 +15,7 @@ import threading
 import numpy as np
 
 __all__ = ["get_lib", "pack_items_native", "unpack_items_native",
-           "decode_huffman_native"]
+           "decode_huffman_native", "rc_encode_native", "rc_decode_native"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "bitpack.cpp")
@@ -72,6 +72,15 @@ def get_lib():
                 u8p, ctypes.c_size_t, ctypes.c_size_t, u8p, u8p,
                 ctypes.c_size_t,
             ]
+        if hasattr(lib, "ftc_rc_encode_tree"):
+            lib.ftc_rc_encode_tree.restype = ctypes.c_size_t
+            lib.ftc_rc_encode_tree.argtypes = [
+                u32p, ctypes.c_size_t, ctypes.c_uint, u8p, ctypes.c_size_t,
+            ]
+            lib.ftc_rc_decode_tree.restype = ctypes.c_int
+            lib.ftc_rc_decode_tree.argtypes = [
+                u8p, ctypes.c_size_t, ctypes.c_uint, u32p, ctypes.c_size_t,
+            ]
         _lib = lib
         return _lib
 
@@ -118,6 +127,36 @@ def decode_huffman_native(payload: bytes, n_bits: int, n_syms: int,
     )
     if rc != 0:
         raise ValueError("corrupt huffman payload")
+    return out
+
+
+def rc_encode_native(vals, nbits: int) -> "bytes | None":
+    """Bit-tree range encode (codec.entropy stream mode 2), or None when
+    the native lib is unavailable or predates the entry point."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ftc_rc_encode_tree"):
+        return None
+    v = np.ascontiguousarray(vals, np.uint32)
+    # worst case ~nbits/8 bytes per symbol plus flush; adaptive coding of
+    # adversarial data can exceed the entropy slightly, pad generously
+    cap = len(v) * ((nbits + 7) // 8 + 1) + 64
+    out = np.empty(cap, np.uint8)
+    written = lib.ftc_rc_encode_tree(v, len(v), nbits, out, cap)
+    if written == 0 and len(v) > 0:
+        return None  # capacity overflow: let the oracle handle it
+    return out[:written].tobytes()
+
+
+def rc_decode_native(payload: bytes, nbits: int, n: int
+                     ) -> "np.ndarray | None":
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ftc_rc_decode_tree"):
+        return None
+    out = np.empty(n, np.uint32)
+    rc = lib.ftc_rc_decode_tree(
+        np.frombuffer(payload, np.uint8), len(payload), nbits, out, n)
+    if rc != 0:
+        raise ValueError("corrupt range-coded payload")
     return out
 
 

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstddef>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -49,9 +50,159 @@ struct BitReader {
     }
 };
 
+// ---------------------------------------------------------------------------
+// Adaptive binary range coder with bit-tree symbol models (the classic
+// LZMA-style coder, written from the textbook construction): 11-bit
+// adaptive probabilities, shift-5 updates, 32-bit range with byte-wise
+// renormalization and carry handling through a cache byte.  Used by
+// codec/entropy.py as stream mode 2 — table-free (the model adapts), and a
+// JOINT alphabet for the domain-index field recovers the ~0.7 bits/item the
+// byte-planar split loses.  The numpy implementation in codec/entropy.py is
+// the oracle; layouts must match it bit-for-bit.
+
+constexpr unsigned kProbBits = 11;
+constexpr uint16_t kProbInit = 1 << (kProbBits - 1);  // 1024
+constexpr unsigned kMoveBits = 5;
+constexpr uint32_t kTopValue = 1u << 24;
+
+struct RangeEncoder {
+    uint64_t low = 0;
+    uint32_t range = 0xFFFFFFFFu;
+    uint8_t cache = 0;
+    uint64_t cache_size = 1;
+    uint8_t* out;
+    size_t cap;
+    size_t pos = 0;
+    bool overflow = false;
+
+    void write_byte(uint8_t b) {
+        if (pos < cap) out[pos++] = b;
+        else overflow = true;
+    }
+    void shift_low() {
+        if (static_cast<uint32_t>(low) < 0xFF000000u || (low >> 32) != 0) {
+            uint8_t carry = static_cast<uint8_t>(low >> 32);
+            uint8_t temp = cache;
+            do {
+                write_byte(static_cast<uint8_t>(temp + carry));
+                temp = 0xFF;
+            } while (--cache_size != 0);
+            cache = static_cast<uint8_t>(low >> 24);
+        }
+        ++cache_size;
+        low = (static_cast<uint32_t>(low)) << 8;
+    }
+    void encode_bit(uint16_t* prob, unsigned bit) {
+        const uint32_t bound = (range >> kProbBits) * (*prob);
+        if (!bit) {
+            range = bound;
+            *prob = static_cast<uint16_t>(
+                *prob + (((1u << kProbBits) - *prob) >> kMoveBits));
+        } else {
+            low += bound;
+            range -= bound;
+            *prob = static_cast<uint16_t>(*prob - (*prob >> kMoveBits));
+        }
+        while (range < kTopValue) {
+            range <<= 8;
+            shift_low();
+        }
+    }
+    void flush() {
+        for (int i = 0; i < 5; ++i) shift_low();
+    }
+};
+
+struct RangeDecoder {
+    uint32_t range = 0xFFFFFFFFu;
+    uint32_t code = 0;
+    const uint8_t* in;
+    size_t len;
+    size_t pos = 0;
+    bool underrun = false;
+
+    uint8_t read_byte() {
+        if (pos < len) return in[pos++];
+        underrun = true;
+        return 0;
+    }
+    void init() {
+        read_byte();  // first emitted byte is always 0 (cache flush)
+        for (int i = 0; i < 4; ++i) code = (code << 8) | read_byte();
+    }
+    unsigned decode_bit(uint16_t* prob) {
+        const uint32_t bound = (range >> kProbBits) * (*prob);
+        unsigned bit;
+        if (code < bound) {
+            bit = 0;
+            range = bound;
+            *prob = static_cast<uint16_t>(
+                *prob + (((1u << kProbBits) - *prob) >> kMoveBits));
+        } else {
+            bit = 1;
+            code -= bound;
+            range -= bound;
+            *prob = static_cast<uint16_t>(*prob - (*prob >> kMoveBits));
+        }
+        while (range < kTopValue) {
+            range <<= 8;
+            code = (code << 8) | read_byte();
+        }
+        return bit;
+    }
+};
+
 }  // namespace
 
 extern "C" {
+
+// Bit-tree range encode of n values, nbits each (MSB-first tree walk).
+// Returns the number of payload bytes written, or 0 if out_cap was too
+// small (caller retries with a bigger buffer or falls back).
+size_t ftc_rc_encode_tree(const uint32_t* vals, size_t n, unsigned nbits,
+                          uint8_t* out, size_t out_cap) {
+    if (nbits == 0 || nbits > 20) return 0;
+    std::vector<uint16_t> probs(size_t(1) << nbits, kProbInit);
+    RangeEncoder rc{};
+    rc.out = out;
+    rc.cap = out_cap;
+    for (size_t i = 0; i < n; ++i) {
+        const uint32_t v = vals[i];
+        size_t m = 1;
+        for (int b = static_cast<int>(nbits) - 1; b >= 0; --b) {
+            const unsigned bit = (v >> b) & 1u;
+            rc.encode_bit(&probs[m], bit);
+            m = (m << 1) | bit;
+            if (rc.overflow) return 0;
+        }
+    }
+    rc.flush();
+    if (rc.overflow) return 0;
+    return rc.pos;
+}
+
+// Bit-tree range decode of n values, nbits each.  Returns 0 on success,
+// nonzero when the payload ran out before n symbols were decoded (loud
+// failure on truncation; trailing garbage after a valid prefix cannot be
+// detected by an arithmetic coder and is the caller's length check).
+int ftc_rc_decode_tree(const uint8_t* in, size_t in_len, unsigned nbits,
+                       uint32_t* out, size_t n) {
+    if (nbits == 0 || nbits > 20) return 2;
+    std::vector<uint16_t> probs(size_t(1) << nbits, kProbInit);
+    RangeDecoder rc{};
+    rc.in = in;
+    rc.len = in_len;
+    rc.init();
+    for (size_t i = 0; i < n; ++i) {
+        size_t m = 1;
+        for (unsigned b = 0; b < nbits; ++b) {
+            m = (m << 1) | rc.decode_bit(&probs[m]);
+        }
+        out[i] = static_cast<uint32_t>(m - (size_t(1) << nbits));
+        if (rc.underrun) return 1;
+    }
+    return 0;
+}
 
 // Returns the number of bytes written (caller sizes out as
 // ceil(n*(1+d+t+s+o)/8) and zero-initializes it).

@@ -143,11 +143,53 @@ def test_entropy_truncation_fails_loudly(rng):
 
     c = np.clip(rng.normal(100, 20, 5000), 0, 255).astype(np.uint8)
     blob = encode_stream(c)
-    assert blob[0] == 1  # huffman mode engaged
+    assert blob[0] in (1, 2)  # a coded mode engaged (huffman or range)
     import pytest
 
     with pytest.raises(ValueError):
         decode_stream(blob[: len(blob) // 2])
+
+
+def test_range_coder_roundtrip_and_oracle(rng):
+    """Mode-2 adaptive range coder: the C++ fast path must match the
+    python oracle bit-for-bit in both directions, across alphabet widths
+    and distribution shapes; truncation fails loudly."""
+    import pytest
+
+    from fractencode_tpu.codec.entropy import (
+        _rc_decode_py,
+        _rc_encode_py,
+        decode_uint_stream,
+        encode_uint_stream,
+    )
+    from fractencode_tpu.codec.native import rc_decode_native, rc_encode_native
+
+    cases = [
+        (8, rng.integers(0, 256, 3000)),
+        (12, rng.integers(0, 4096, 4000)),
+        (12, (rng.integers(0, 8, 4000) * 512 + rng.integers(0, 4, 4000))),
+        (5, rng.integers(0, 32, 200)),
+        (20, rng.integers(0, 1 << 20, 500)),
+        (3, np.zeros(100)),
+    ]
+    for nbits, vals in cases:
+        vals = vals.astype(np.uint32)
+        e_py = _rc_encode_py(vals, nbits)
+        e_na = rc_encode_native(vals, nbits)
+        if e_na is not None:  # no-compiler environments skip the parity leg
+            assert e_na == e_py, (nbits, len(vals))
+            na = rc_decode_native(e_py, nbits, len(vals))
+            np.testing.assert_array_equal(na, vals)
+        np.testing.assert_array_equal(_rc_decode_py(e_py, nbits, len(vals)),
+                                      vals)
+        blob = encode_uint_stream(vals, nbits)
+        out, off = decode_uint_stream(blob, 0, expect_count=len(vals),
+                                      expect_nbits=nbits)
+        assert off == len(blob)
+        np.testing.assert_array_equal(out, vals)
+        for cut in (10, len(blob) // 2, len(blob) - 2):
+            with pytest.raises(ValueError):
+                decode_uint_stream(blob[:cut], 0, expect_count=len(vals))
 
 
 def test_bitstream_entropy_identical_decode(lenna_y):
