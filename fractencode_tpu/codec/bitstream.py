@@ -390,6 +390,9 @@ def unpack_result(data: bytes):
      num_ranges, num_domains) = fields
     if magic != _MAGIC or version not in (_VERSION, _VERSION_ENTROPY):
         raise ValueError("bad bitstream header")
+    if not (1 <= s_bits <= 16 and 1 <= o_bits <= 16 and width and height
+            and target_size):
+        raise ValueError("corrupt bitstream header fields")
     o_is_mean = bool(flags & _FLAG_O_IS_MEAN)
     num_transforms = ((flags >> _NT_SHIFT) & 0xF) or 8
 

@@ -227,6 +227,8 @@ def unpack_quadtree(data: bytes):
     )
     if magic != _MAGIC or version not in (3, 4, _VERSION):
         raise ValueError("bad quadtree bitstream header")
+    if not (1 <= s_bits <= 16 and 1 <= o_bits <= 16 and width and height):
+        raise ValueError("corrupt quadtree header fields")
     o_is_mean = bool(flags & _FLAG_O_IS_MEAN)
     use_entropy = version >= 4 and bool(flags & _FLAG_ENTROPY)
     framed_acc = version >= 4 and use_entropy
@@ -246,14 +248,24 @@ def unpack_quadtree(data: bytes):
     cov = None  # implied-acc coverage state, [nyb, nxb] bool
     for lvl_i in range(nlevels):
         lvl_size = struct.calcsize(_LVL_FMT)
+        if len(data) < off + lvl_size:
+            raise ValueError("truncated quadtree level header")
         (range_size, domain_size, domain_step, naccept,
          s_min, s_max, o_min, o_max) = struct.unpack(
             _LVL_FMT, data[off : off + lvl_size]
         )
         off += lvl_size
+        # corrupt geometry fields must fail loudly, not divide by zero or
+        # fabricate absurd grids
+        if (range_size == 0 or domain_step == 0
+                or width % range_size or height % range_size
+                or domain_size > width or domain_size > height):
+            raise ValueError("corrupt quadtree level geometry")
         nyb = height // range_size
         nxb = width // range_size
         n_blocks = nyb * nxb
+        if naccept > n_blocks:
+            raise ValueError("corrupt quadtree acceptance count")
         if implied_acc:
             from .entropy import decode_stream
 

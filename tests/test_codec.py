@@ -325,3 +325,53 @@ def test_bitstream_corruption_fuzz(lenna_y, rng):
         outcomes.add(try_decode(blob))
         blob[pos] = old
     assert outcomes <= {"ok", "rejected"} and "rejected" in outcomes
+
+
+def test_quadtree_corruption_fuzz(lenna_y, rng):
+    """FTQ1 v5 corruption robustness: the implied acceptance maps, flat
+    short-circuit and range-coded streams all interact here — corruptions
+    must raise ValueError (loud) or decode to a well-shaped result, never
+    crash, hang, or divide by zero."""
+    import struct
+
+    from fractencode_tpu.codec.bitstream_quadtree import (
+        _HDR_FMT,
+        pack_quadtree,
+        unpack_quadtree,
+    )
+    from fractencode_tpu.encode.quadtree import (
+        QuadtreeConfig,
+        encode_plane_quadtree,
+    )
+
+    img = np.asarray(lenna_y)[128:256, 128:256]
+    qres = encode_plane_quadtree(img, EncoderConfig(), QuadtreeConfig())
+    blob = bytearray(pack_quadtree(qres, plane=img))
+    hdr = struct.calcsize(_HDR_FMT)
+    n_levels = len(qres.levels)
+
+    def try_decode(b):
+        try:
+            r = unpack_quadtree(bytes(b))
+            assert len(r.levels) == n_levels
+            return "ok"
+        except (ValueError, AssertionError, IndexError, struct.error):
+            return "rejected"
+
+    # truncations at every region fail loudly
+    for cut in (hdr - 2, hdr + 3, len(blob) // 3, len(blob) // 2,
+                len(blob) - 2):
+        assert try_decode(blob[:cut]) == "rejected", cut
+    # zeroed level geometry (range_size = 0) must not divide by zero
+    evil = bytearray(blob)
+    struct.pack_into("<H", evil, hdr, 0)
+    assert try_decode(evil) == "rejected"
+    # random flips anywhere: either outcome, never a crash
+    outcomes = set()
+    for _ in range(120):
+        pos = int(rng.integers(0, len(blob)))
+        old = blob[pos]
+        blob[pos] = old ^ int(rng.integers(1, 256))
+        outcomes.add(try_decode(blob))
+        blob[pos] = old
+    assert outcomes <= {"ok", "rejected"} and "rejected" in outcomes
