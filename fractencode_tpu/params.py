@@ -130,7 +130,7 @@ class DecoderConfig:
     # Measured (512^2 and 2048^2 Lenna fixtures, raw + quantized): decoded
     # PSNR is unchanged to 0.001 dB down to (coarse=6, full=5); the
     # defaults keep a safety margin above that floor.
-    pyramid_steps: int = 10  # iterations at the coarsest scale
+    pyramid_steps: int = 8  # iterations at the coarsest scale
     pyramid_refine_steps: int = 4  # iterations at intermediate scales
     # Coarse scales to use (1 => half resolution only).  Measured on TPU
     # (scripts/micro_scale_step.py): the half-res step costs ~0.4x the
