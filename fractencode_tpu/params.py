@@ -116,16 +116,14 @@ class DecoderConfig:
     mean_init_iters: int = 30  # block-mean fixed-point steps ("means" mode)
     # Coarse-to-fine ("pyramid") initialization: PIFS maps are resolution-
     # independent, so the same (domain, transform, s, o) set decodes at any
-    # scale whose geometry divides evenly.  Iterating first at 1/4 and 1/2
-    # resolution costs a small fraction of a full-res step (the pool build,
-    # box sums and gather rows all shrink with the image), and the upsampled
-    # result starts the full-res loop a few contraction steps from the fixed
-    # point — measured ~2-3x faster to the same PSNR (docs/PERF_NOTES.md
-    # round 5).  OFF by default: the flat start is the reference-parity mode
-    # (Encoder2.hpp:68-70) pinned pixel-identical by
-    # tests/test_reference_parity.py; the CLI and bench enable it.  The
-    # full-res exit rules are unchanged, so the result is the same fixed
-    # point up to the usual +-1 limit-cycle pixels.
+    # scale whose geometry divides evenly.  Iterating first at half
+    # resolution costs ~0.4x a full-res step (pool build, box sums and
+    # gather rows all shrink), and the upsampled result starts the
+    # fixed-count full-res refinement a few contraction steps from the
+    # fixed point — measured ~2x faster to the same PSNR
+    # (docs/PERF_NOTES.md round 5).  OFF by default: the flat start is the
+    # reference-parity mode (Encoder2.hpp:68-70) pinned pixel-identical by
+    # tests/test_reference_parity.py; the CLI and bench enable it.
     pyramid: bool = False
     # Measured (512^2 and 2048^2 Lenna fixtures, raw + quantized): decoded
     # PSNR is unchanged to 0.001 dB down to (coarse=6, full=5); the
