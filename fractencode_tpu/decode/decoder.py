@@ -406,11 +406,12 @@ def _decode_core(result: EncodeResult, dcfg: DecoderConfig):
                 img, _ = carry
                 return step(img), img
 
-            img0, prev0 = jax.lax.fori_loop(
-                0, dcfg.pyramid_full_steps, fstep, (pi, pi))
+            # honor an explicit iteration cap (--decode N) below the floor
+            n_full = min(dcfg.pyramid_full_steps, dcfg.max_iterations)
+            img0, prev0 = jax.lax.fori_loop(0, n_full, fstep, (pi, pi))
             d0 = img0.astype(jnp.float32) - prev0.astype(jnp.float32)
             mse0 = jnp.sum(d0 * d0) / (h * w)
-            return img0, jnp.int32(dcfg.pyramid_full_steps), mse0
+            return img0, jnp.int32(n_full), mse0
 
     # prev starts unequal to any first iterate (init ^ 1 flips every pixel)
     carry0 = (init, init ^ jnp.uint8(1), jnp.int32(0),

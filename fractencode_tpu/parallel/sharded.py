@@ -700,11 +700,13 @@ def _decode_batch_impl(dom, tr, s, o, valid, template: EncodeResult, mesh: Mesh,
                                            template.target_size)
                         return nxt, img
 
-                    img0, prev0 = jax.lax.fori_loop(
-                        0, dcfg.pyramid_full_steps, fstep, (pi, pi))
+                    n_full = min(dcfg.pyramid_full_steps,
+                                 dcfg.max_iterations)
+                    img0, prev0 = jax.lax.fori_loop(0, n_full, fstep,
+                                                    (pi, pi))
                     d0 = img0.astype(jnp.float32) - prev0.astype(jnp.float32)
                     mse0 = jnp.sum(d0 * d0) / (h * w)
-                    return (img0, jnp.int32(dcfg.pyramid_full_steps), mse0)
+                    return (img0, jnp.int32(n_full), mse0)
             init = jnp.full((h, w), initial_value, dtype=jnp.uint8)
 
             def cond(c):

@@ -338,3 +338,15 @@ def test_flat_short_circuit_content_matrix():
         p_off = float(psnr(img, np.asarray(out_off)))
         p_on = float(psnr(img, np.asarray(out_on)))
         assert p_on > p_off - 0.05, (name, p_on, p_off)
+
+
+def test_pyramid_respects_max_iterations(lenna_y):
+    """An explicit iteration cap (the CLI's --decode N) bounds the pyramid
+    floor too."""
+    img = np.asarray(lenna_y)[:128, :128]
+    res = encode_plane(img, EncoderConfig())
+    out, it, _ = decode_plane(res, DecoderConfig(pyramid=True,
+                                                 max_iterations=2))
+    assert int(it) == 2
+    out6, it6, _ = decode_plane(res, DecoderConfig(pyramid=True))
+    assert int(it6) == DecoderConfig.pyramid_full_steps
